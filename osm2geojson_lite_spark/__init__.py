@@ -1,0 +1,11 @@
+"""PySpark-native OSM->GeoJSON engine (capabilities of tibetty/osm2geojson-lite).
+
+See SURVEY.md for the blueprint; public surface:
+
+    from osm2geojson_lite_spark import convert, Options, get_spark
+"""
+
+from .operators.convert import Options, build_features, convert
+from .session import get_spark
+
+__all__ = ["Options", "build_features", "convert", "get_spark"]

@@ -1,0 +1,148 @@
+"""End-to-end conversion pipeline (SURVEY.md §3.4 lifecycle).
+
+``documents(doc_id, spans)`` -> parse -> resolve (joins) -> assemble
+(kernels) -> emit. The logical plan is declared with the DataFrame API
+throughout; Catalyst/AQE pick physical join strategies (broadcast vs
+shuffled-hash) per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .assemble import (
+    FEATURE_SCHEMA,
+    node_features_kernel,
+    relation_kernel,
+    way_features_kernel,
+)
+from .emit import feature_collections, first_relation_geometry
+from .parse import parse_documents
+from .resolve import relation_closure, resolve_graph, visibility_filter
+
+
+@dataclass(frozen=True)
+class Options:
+    """Reference option surface (index.ts:30-38) + engine knobs."""
+
+    complete_feature: bool = False
+    render_tagged: bool = False
+    exclude_way: bool = True
+    salt: int | None = None  # explicit skew salting for the node-ref join
+
+
+def assemble_payload(docs: DataFrame) -> DataFrame:
+    """S1 span assembly: concatenate kind='text' span texts in offset order.
+
+    Pure column expressions (higher-order functions run JVM-side); media
+    spans pass through untouched — span-sequence equality is checked by
+    tests/test_span_invariant.py.
+    """
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+    ordered = F.array_sort(
+        F.transform(text_spans, lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t")))
+    )
+    payload = F.array_join(F.transform(ordered, lambda s: s["t"]), "")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), payload.alias("payload")
+    )
+
+
+def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
+    """Run parse+resolve+assemble; returns dict with feature DataFrames."""
+    payloads = assemble_payload(docs)
+    instances = parse_documents(payloads).persist()
+
+    graph = resolve_graph(instances, salt=opts.salt)
+    live = graph["live"]
+    visible = visibility_filter(
+        live, render_tagged=opts.render_tagged, exclude_way=opts.exclude_way
+    )
+
+    # --- node features -----------------------------------------------------
+    node_feats = (
+        visible.filter((F.col("etype") == "node") & F.col("latlng_set"))
+        .select("doc_id", "out_pos", "composite", "props_json", "tags_json", "lon", "lat")
+        .mapInPandas(node_features_kernel, schema=FEATURE_SCHEMA)
+    )
+
+    # --- way features ------------------------------------------------------
+    way_coords = graph["way_coords"]
+    way_feats = (
+        visible.filter(F.col("etype") == "way")
+        .select("doc_id", F.col("inst").alias("owner"), "out_pos", "composite",
+                "props_json", "tags_json", "tag_events_json")
+        .join(way_coords, ["doc_id", "owner"], "left")
+        .mapInPandas(way_features_kernel, schema=FEATURE_SCHEMA)
+    )
+
+    # --- relation features -------------------------------------------------
+    rel_meta = instances.filter(F.col("etype") == "relation").select(
+        "doc_id",
+        F.col("inst").alias("rel_inst"),
+        "composite", "props_json", "tags_json", "roles_json", "bounds_json",
+    )
+    nodes_by_inst = instances.filter(F.col("etype") == "node").select(
+        "doc_id",
+        F.col("inst").alias("target_inst"),
+        F.col("composite").alias("node_comp"),
+        F.col("props_json").alias("node_props_json"),
+        F.col("tags_json").alias("node_tags_json"),
+        F.col("lon").alias("node_lon"),
+        F.col("lat").alias("node_lat"),
+    )
+
+    roots = visible.filter(F.col("etype") == "relation").select(
+        "doc_id", F.col("inst").alias("root_inst"), "out_pos"
+    )
+    closure = relation_closure(roots, graph["edges"])
+
+    kernel_in = (
+        closure.join(graph["members"], ["doc_id", "rel_inst"])
+        .withColumnRenamed("p", "m_p")
+        .withColumnRenamed("mtype", "m_mtype")
+        .join(
+            way_coords.withColumnRenamed("owner", "target_inst"),
+            ["doc_id", "target_inst"],
+            "left",
+        )
+        .join(nodes_by_inst, ["doc_id", "target_inst"], "left")
+        .withColumn("child_inst", F.col("target_inst"))
+        .join(rel_meta, ["doc_id", "rel_inst"])
+        .join(roots.select("doc_id", "root_inst", "out_pos"), ["doc_id", "root_inst"])
+    )
+    rel_feats = kernel_in.groupBy("doc_id", "root_inst").applyInPandas(
+        relation_kernel, schema=FEATURE_SCHEMA
+    )
+
+    return {
+        "instances": instances,
+        "node_features": node_feats,
+        "way_features": way_feats,
+        "relation_features": rel_feats,
+        "features": node_feats.unionByName(way_feats).unionByName(rel_feats),
+    }
+
+
+def convert(docs: DataFrame, opts: Options = Options()) -> DataFrame:
+    """documents -> (doc_id, geojson).
+
+    With ``complete_feature=True`` every doc yields a FeatureCollection;
+    otherwise docs whose first qualifying relation produced features yield
+    that bare geometry (reference default mode, ``index.ts:220-222``).
+    """
+    parts = build_features(docs, opts)
+    collections = feature_collections(docs, parts["features"])
+    if opts.complete_feature:
+        return collections
+    bare = first_relation_geometry(parts["relation_features"])
+    return (
+        collections.withColumnRenamed("geojson", "collection_json")
+        .join(bare, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("geojson"), F.col("collection_json")).alias("geojson"),
+        )
+    )
