@@ -1,0 +1,45 @@
+"""Large-scale training-data pipeline operators.
+
+First-class engine components alongside the OSM conversion core: exact and
+near deduplication (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+similarity search (brute-force cosine top-k + sign-bucketed ANN), text
+analysis (token stats, quality counts, language id, fingerprinting), and
+multimodal binary-column plumbing.
+
+Design rules:
+- everything JVM-side (`pyspark.sql.functions`, whole-stage codegen) unless
+  semantics require an Arrow kernel;
+- all hashes derive from ``md5`` -> 60-bit bigint so an ANSI-SQL oracle
+  (DuckDB) reproduces results bit-for-bit — no engine-private hash in any
+  user-visible result;
+- heavy ops aggregate before they shuffle (distinct shingles per doc, band
+  buckets before pair expansion) and block before they pair (O(n^2) only
+  within a bounded block).
+"""
+
+from .dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash,
+)
+from .similarity import brute_force_topk, embedding_near_duplicates, sign_lsh_topk
+from .text import doc_fingerprint, language_id, quality_counts, token_hash_col
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_near_duplicates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "shingles_col",
+    "simhash",
+    "brute_force_topk",
+    "embedding_near_duplicates",
+    "sign_lsh_topk",
+    "doc_fingerprint",
+    "language_id",
+    "quality_counts",
+    "token_hash_col",
+]

@@ -1,0 +1,94 @@
+"""Text analysis operators: token stats, quality counts, language id,
+document fingerprinting.  All pure column expressions (JVM-side); every
+result is integer- or string-typed so cross-engine oracles compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-id
+# heuristic.  Deliberately small + deterministic; argmax with alphabetical
+# tiebreak keeps the predicate oracle-reproducible.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "por", "con", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "une", "pour"],
+    "de": ["der", "die", "und", "das", "von", "mit", "ein", "für"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+
+def token_hash_col(token: Column) -> Column:
+    """Shared 60-bit token hash: ``bigint(substr(md5(token),1,15))``.
+
+    Chosen over ``xxhash64`` because the identical value is computable in
+    ANSI SQL (DuckDB: ``('0x'||substr(md5(t),1,15))::bigint``), keeping every
+    hash-derived operator fully oracle-checkable.
+    """
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text (empties dropped)."""
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != F.lit(""))
+
+
+def quality_counts(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Integer quality metrics per document: char/token/punct/stopword/digit
+    counts plus distinct-token count (lexical diversity numerator)."""
+    toks = tokens_col(F.col(text_col))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))).alias("n_stopwords"),
+        (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))).alias("n_punct"),
+        (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))).alias("n_digits"),
+    )
+
+
+def language_id(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-hit language id: per language, count tokens in its stopword
+    list; argmax wins, alphabetical language code breaks ties, zero hits
+    everywhere -> 'und'."""
+    toks = tokens_col(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t, ws=words: F.array_contains(
+                F.array(*[F.lit(w) for w in ws]), t))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    # array_max over (score, lang) structs: max score, then max lang — to get
+    # the *alphabetically first* lang on ties we order by (score, reversed-lang)
+    # instead: encode lang rank descending.
+    ranked = [
+        F.struct(
+            s["score"].alias("score"),
+            F.lit(len(STOPWORDS) - i).alias("rank"),
+            s["lang"].alias("lang"),
+        )
+        for i, s in enumerate(scores)
+    ]
+    best = F.array_max(F.array(*ranked))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Normalization fingerprint: md5 of lowercased, whitespace-collapsed,
+    trimmed text — the exact-dedup key that survives formatting noise."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -1,0 +1,46 @@
+"""Spatial extensions (SURVEY.md §2.8 X1-X4): hierarchical cell tiling,
+point-in-polygon joins, exact kNN via cell-neighbor expansion, and
+raster-tile <-> vector assignment.
+
+No native geo library ships in this environment (h3/shapely absent), so the
+cell index is a self-contained hierarchical quadtree grid (equirectangular,
+resolutions 7-12 like H3's mid range) plus web-mercator XYZ raster tiles —
+both pure column arithmetic (JVM-side, whole-stage codegen) with numpy
+twins for the Arrow-UDF kernels. The grid math is deliberately rational
+(no transcendentals) so results are bit-reproducible across engines and
+cluster sizes.
+"""
+
+from .cells import (
+    CELL_RES_MAX,
+    CELL_RES_MIN,
+    cell_col,
+    cell_parent_col,
+    cell_res,
+    cell_size_deg,
+    cell_xy,
+    mercator_tile_cols,
+    neighbor_cells_col,
+    np_cell,
+)
+from .knn import knn_join
+from .pip import pip_join, polygon_cover_cells
+from .raster import raster_tile_assignment, tile_manifest
+
+__all__ = [
+    "CELL_RES_MAX",
+    "CELL_RES_MIN",
+    "cell_col",
+    "cell_parent_col",
+    "cell_res",
+    "cell_size_deg",
+    "cell_xy",
+    "mercator_tile_cols",
+    "neighbor_cells_col",
+    "np_cell",
+    "knn_join",
+    "pip_join",
+    "polygon_cover_cells",
+    "raster_tile_assignment",
+    "tile_manifest",
+]

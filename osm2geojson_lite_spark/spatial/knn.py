@@ -1,0 +1,95 @@
+"""Exact kNN via cell-neighbor expansion (X3).
+
+Plan per iteration (standard LSH-free grid kNN):
+
+1. Queries carry a cell at the current resolution; each query explodes to its
+   3x3 ``grid_disk`` (``neighbor_cells_col``), giving candidate cells.
+2. Equi-join candidate cells against the point table's cell column (the one
+   shuffle; the query side is usually the small side and is broadcast).
+3. Per query, ``row_number`` over squared planar distance takes top-k.
+4. **Exactness check**: the 3x3 disk at resolution ``r`` is guaranteed to
+   contain every point within one cell height (``180/2^r`` degrees) of the
+   query.  Queries whose k-th neighbor lies within that radius are final;
+   the rest retry one resolution coarser (radius doubles).  Below
+   ``res_min`` the stragglers fall back to a brute-force join — so results
+   are *exact*, matching a brute-force oracle row-for-row.
+
+Distances are planar squared degrees (rational arithmetic -> deterministic
+across engines and cluster sizes); ties break on point id, so output is
+byte-identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .cells import CELL_RES_MIN, cell_col, cell_size_deg, neighbor_cells_col
+
+
+def _topk(cands: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
+
+
+def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
+             res_start: int = 10, res_min: int = CELL_RES_MIN,
+             query_id: str = "query_id", point_id: str = "point_id",
+             q_lon: str = "lon", q_lat: str = "lat",
+             p_lon: str = "lon", p_lat: str = "lat",
+             broadcast_queries: bool = True) -> DataFrame:
+    """-> (query_id, neighbor_id, dist2, rank) with exactly min(k, |points|)
+    rows per query, identical to brute force."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(q_lon).cast("double").alias("qlon"),
+        F.col(q_lat).cast("double").alias("qlat"),
+    )
+    p = points.select(
+        F.col(point_id).alias("neighbor_id"),
+        F.col(p_lon).cast("double").alias("plon"),
+        F.col(p_lat).cast("double").alias("plat"),
+    )
+
+    dist2 = (F.col("qlon") - F.col("plon")) ** 2 + (F.col("qlat") - F.col("plat")) ** 2
+
+    results = None
+    remaining = q
+    for res in range(res_start, res_min - 1, -1):
+        p_cells = p.withColumn("cell", cell_col(F.col("plon"), F.col("plat"), res))
+        q_cells = remaining.withColumn(
+            "cell",
+            F.explode(neighbor_cells_col(cell_col(F.col("qlon"), F.col("qlat"), res), res)),
+        )
+        left = F.broadcast(q_cells) if broadcast_queries else q_cells
+        cands = (
+            left.join(p_cells, "cell", "inner")
+            .select("query_id", "neighbor_id", dist2.alias("dist2"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        topk = _topk(cands, k)
+        # guaranteed-covered radius: one cell height at this resolution
+        radius2 = cell_size_deg(res) ** 2
+        per_q = topk.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist2").alias("kth")
+        )
+        satisfied_ids = per_q.filter(
+            (F.col("n") >= k) & (F.col("kth") <= F.lit(radius2))
+        ).select("query_id")
+        done = topk.join(F.broadcast(satisfied_ids), "query_id", "left_semi")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(F.broadcast(satisfied_ids), "query_id", "left_anti")
+        remaining = remaining.persist()
+        if remaining.limit(1).count() == 0:
+            break
+
+    # brute-force fallback for stragglers (sparse regions / tiny point sets)
+    leftover = F.broadcast(remaining) if broadcast_queries else remaining
+    brute = _topk(
+        leftover.crossJoin(p).select("query_id", "neighbor_id", dist2.alias("dist2")), k
+    )
+    results = brute if results is None else results.unionByName(brute)
+    return results
