@@ -1,38 +1,917 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: testdata tables -> interleaved OSM documents ->
+full conversion pipeline -> GeoJSON per document.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 (+ §2.8 extensions and the training-pipeline ops).  Every
+hash/coordinate derivation is md5- or rational-arithmetic-based so the
+DuckDB oracle reproduces values bit-for-bit; queries without a SQL-expressible
+oracle (full GeoJSON corpus, approximate ANN) are listed without one and get
+the driver's rows-only check, backed instead by the golden-fixture pytest
+suite.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm2geojson_lite_spark import Options, convert  # noqa: E402
+from osm2geojson_lite_spark.functions.jsnumber import canonical_json  # noqa: E402
+from osm2geojson_lite_spark.functions.polytags import POLYGON_TAGS, polygon_class_col  # noqa: E402
+from osm2geojson_lite_spark.pipeline.dedup import (  # noqa: E402
+    exact_duplicates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from osm2geojson_lite_spark.pipeline.similarity import (  # noqa: E402
+    brute_force_topk,
+    embedding_near_duplicates,
+    sign_lsh_topk,
+)
+from osm2geojson_lite_spark.pipeline.text import (  # noqa: E402
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_counts,
+)
+from osm2geojson_lite_spark.sources.synth import SPAN_SCHEMA, generate_documents  # noqa: E402
+from osm2geojson_lite_spark.spatial import (  # noqa: E402
+    cell_col,
+    cell_parent_col,
+    knn_join,
+    pip_join,
+    raster_tile_assignment,
+)
+
+REFERENCE_DATA = "/root/reference/test/data"
+REFERENCE_EXPECTED = "/root/reference/test/expected"
+
+# ---------------------------------------------------------------------------
+# Shared deterministic derivations (identical in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+# lon(k) = (k*7919 % 36000)/100 - 180 ; lat(k) = (k*104729 % 18000)/100 - 90
+LON_SQL = "(({k}) * 7919 % 36000) / 100.0 - 180.0"
+LAT_SQL = "(({k}) * 104729 % 18000) / 100.0 - 90.0"
+
+
+def _lon(k):
+    return (k * F.lit(7919) % F.lit(36000)) / F.lit(100.0) - F.lit(180.0)
+
+
+def _lat(k):
+    return (k * F.lit(104729) % F.lit(18000)) / F.lit(100.0) - F.lit(90.0)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _wrap_docs(df: DataFrame, doc_id_col, payload_col) -> DataFrame:
+    """(id, payload) -> interleaved-span documents (single text span)."""
+    return df.select(
+        doc_id_col.cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                payload_col.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+# --- OSM documents derived from testdata tables ----------------------------
+
+
+def _nation_point_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Overpass-JSON document per nation: its customers as OSM nodes."""
+    cust = _read(spark, sf_dir, "customer")
+    elems = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.struct(
+            F.col("c_custkey").alias("id"),
+            F.lit("node").alias("type"),
+            _lat(F.col("c_custkey")).alias("lat"),
+            _lon(F.col("c_custkey")).alias("lon"),
+        ).alias("e"),
+    )
+    docs = elems.groupBy("nk").agg(
+        F.to_json(F.struct(F.array_sort(F.collect_list("e")).alias("elements"))).alias("payload")
+    )
+    return _wrap_docs(docs, F.col("nk"), F.col("payload"))
+
+
+def _order_way_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One document per order: a way whose node refs are its lineitems'
+    partkeys (linenumber order); parts with p_partkey % 10 == 0 are withheld
+    from the node set -> dangling refs the resolver must drop (J1)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 != 0).select(
+        F.col("p_partkey"),
+        _lat(F.col("p_partkey")).alias("lat"),
+        _lon(F.col("p_partkey")).alias("lon"),
+    )
+    refs = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"],
+        ).alias("refs")
+    )
+    nodes = (
+        li.join(part, li["l_partkey"] == part["p_partkey"], "inner")
+        .select("l_orderkey", "p_partkey", "lat", "lon")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("p_partkey").alias("id"), F.lit("node").alias("type"),
+                             F.col("lat"), F.col("lon"))
+                )
+            ).alias("nodes")
+        )
+    )
+    docs = refs.join(nodes, "l_orderkey", "left").select(
+        "l_orderkey",
+        F.concat(
+            F.lit('{"elements":['),
+            F.array_join(
+                F.transform(F.coalesce("nodes", F.array()), lambda n: F.to_json(n)), ","
+            ),
+            F.when(F.size(F.coalesce("nodes", F.array())) > 0, F.lit(",")).otherwise(F.lit("")),
+            F.to_json(
+                F.struct(
+                    F.col("l_orderkey").alias("id"),
+                    F.lit("way").alias("type"),
+                    F.col("refs").alias("nodes"),
+                    F.create_map(F.lit("highway"), F.lit("residential")).alias("tags"),
+                )
+            ),
+            F.lit("]}"),
+        ).alias("payload"),
+    )
+    return _wrap_docs(docs, F.col("l_orderkey"), F.col("payload"))
+
+
+POINT_FEATURES_T = (
+    "type string, features array<struct<id:string,"
+    "geometry:struct<type:string,coordinates:array<double>>>>"
+)
+LINE_FEATURES_T = (
+    "type string, features array<struct<id:string,"
+    "geometry:struct<type:string,coordinates:array<array<double>>>>>"
+)
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 tables -> interleaved OSM docs -> GeoJSON per doc."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _nation_point_docs(spark, sf_dir)
+    return convert(docs, Options(complete_feature=True))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_osm_point_features(spark, sf_dir):
+    out = convert(_nation_point_docs(spark, sf_dir), Options(complete_feature=True))
+    feats = out.select(
+        F.col("doc_id").cast("bigint").alias("nation_id"),
+        F.explode(F.from_json("geojson", POINT_FEATURES_T)["features"]).alias("f"),
+    )
+    return feats.select(
+        "nation_id",
+        F.col("f.id").alias("node_id"),
+        F.col("f.geometry.coordinates")[0].alias("lon"),
+        F.col("f.geometry.coordinates")[1].alias("lat"),
+    )
+
+
+def q_osm_way_resolution(spark, sf_dir):
+    out = convert(_order_way_docs(spark, sf_dir), Options(complete_feature=True))
+    feats = out.select(
+        F.col("doc_id").cast("bigint").alias("way_id"),
+        F.explode(F.from_json("geojson", LINE_FEATURES_T)["features"]).alias("f"),
+    )
+    coords = feats.select(
+        "way_id", F.posexplode(F.col("f.geometry.coordinates")).alias("pos", "pt")
+    )
+    return coords.select(
+        "way_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("pt")[0].alias("lon"),
+        F.col("pt")[1].alias("lat"),
+    )
+
+
+def q_osm_props_merge(spark, sf_dir):
+    payload = json.dumps({"elements": [
+        {"type": "node", "id": 1, "lat": 10.5, "lon": 20.25,
+         "version": 7, "user": "alice", "tags": {"name": "tagged-name", "amenity": "cafe"}},
+        {"type": "node", "id": 2, "lat": -3.0, "lon": 4.0, "name": "prop-only"},
+    ]})
+    docs = spark.createDataFrame(
+        [("m", [{"kind": "text", "text": payload, "media_ref": None, "offset": 0}])],
+        schema=SPAN_SCHEMA,
+    )
+    out = convert(docs, Options(complete_feature=True))
+    t = ("type string, features array<struct<id:string,"
+         "properties:map<string,string>>>")
+    feats = out.select(F.explode(F.from_json("geojson", t)["features"]).alias("f"))
+    return feats.select(
+        F.col("f.id").alias("feature_id"),
+        F.element_at("f.properties", "name").alias("name"),
+        F.element_at("f.properties", "amenity").alias("amenity"),
+        F.element_at("f.properties", "user").alias("osm_user"),
+    ).orderBy("feature_id")
+
+
+def _normalize(obj):
+    """Number-insensitive deep form (JS has a single number type)."""
+    if isinstance(obj, bool):
+        return obj
+    if isinstance(obj, (int, float)):
+        return float(obj)
+    if isinstance(obj, list):
+        return [_normalize(x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _normalize(v) for k, v in obj.items()}
+    return obj
+
+
+def q_osm_fixture_parity(spark, sf_dir):
+    from osm2geojson_lite_spark.sources.synth import fixture_documents
+
+    normalize = _normalize
+
+    docs = fixture_documents(spark, REFERENCE_DATA)
+    out = convert(docs, Options(complete_feature=True)).collect()
+    got = {r["doc_id"]: r["geojson"] for r in out}
+    rows = []
+    for name in _fixture_names():
+        with open(os.path.join(REFERENCE_EXPECTED, name + ".geojson"), encoding="utf-8") as f:
+            expected = json.load(f)
+        ok = normalize(json.loads(got.get(name, "{}"))) == normalize(expected)
+        rows.append((name, bool(ok)))
+    return spark.createDataFrame(rows, "fixture string, matches boolean")
+
+
+def q_osm_relation_geometry(spark, sf_dir):
+    with open(os.path.join(REFERENCE_DATA, "relation.json"), encoding="utf-8") as f:
+        payload = f.read()
+    docs = spark.createDataFrame(
+        [("relation.json", [{"kind": "text", "text": payload, "media_ref": None, "offset": 0}])],
+        schema=SPAN_SCHEMA,
+    )
+    return convert(docs, Options(complete_feature=False)).select(
+        F.col("doc_id").alias("doc_id"), F.col("geojson").alias("geometry_json")
+    )
+
+
+def q_osm_polytag_classify(spark, sf_dir):
+    keys = ["building", "highway", "natural", "waterway", "barrier",
+            "railway", "power", "aeroway", "man_made", "landuse", "unknown_key"]
+    vals = ["services", "cliff", "riverbank", "yes", "plant",
+            "taxiway", "coastline", "wall"]
+    part = _read(spark, sf_dir, "part")
+    df = part.select(
+        F.col("p_partkey").alias("part_id"),
+        F.element_at(F.array(*[F.lit(k) for k in keys]),
+                     (F.col("p_partkey") % 11 + 1).cast("int")).alias("tag_key"),
+        F.element_at(F.array(*[F.lit(v) for v in vals]),
+                     (F.col("p_partkey") % 8 + 1).cast("int")).alias("tag_value"),
+    )
+    return df.select(
+        "part_id", "tag_key", "tag_value",
+        polygon_class_col(F.col("tag_key"), F.col("tag_value")).alias("is_polygon"),
+    )
+
+
+def q_osm_convert_corpus(spark, sf_dir):
+    n_docs = 400 if "0.1" in sf_dir else 100
+    docs = generate_documents(spark, n_docs)
+    out = convert(docs, Options(complete_feature=True))
+    t = "type string, features array<struct<geometry:struct<type:string>>>"
+    return out.select(
+        "doc_id",
+        F.size(F.from_json("geojson", t)["features"]).cast("bigint").alias("n_features"),
+        F.md5("geojson").alias("geojson_md5"),
+    )
+
+
+def q_tile_cells(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    lon, lat = _lon(F.col("c_custkey")), _lat(F.col("c_custkey"))
+    return cust.select(
+        F.col("c_custkey").alias("point_id"),
+        *[cell_col(lon, lat, r).alias(f"cell_r{r}") for r in range(7, 13)],
+    )
+
+
+def q_tile_rollup(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    lon, lat = _lon(F.col("c_custkey")), _lat(F.col("c_custkey"))
+    cells = cust.select(cell_parent_col(cell_col(lon, lat, 12), 12, 7).alias("parent_cell"))
+    return cells.groupBy("parent_cell").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def q_pip_diamonds(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    points = cust.select(
+        F.col("c_custkey").cast("string").alias("point_id"),
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    )
+    nation = _read(spark, sf_dir, "nation")
+    r = F.lit(12.0)
+    cx = (F.col("n_nationkey") * F.lit(7919) % F.lit(30000)) / F.lit(100.0) - F.lit(150.0)
+    cy = (F.col("n_nationkey") * F.lit(104729) % F.lit(14000)) / F.lit(100.0) - F.lit(70.0)
+    ring = F.to_json(F.array(
+        F.array(cx + r, cy), F.array(cx, cy + r), F.array(cx - r, cy),
+        F.array(cx, cy - r), F.array(cx + r, cy),
+    ))
+    polys = nation.select(F.col("n_nationkey").cast("string").alias("poly_id"),
+                          ring.alias("ring_json"))
+    out = pip_join(points, polys, res=7)
+    return out.select(F.col("point_id").cast("bigint").alias("point_id"),
+                      F.col("poly_id").cast("bigint").alias("poly_id"))
+
+
+def q_knn(spark, sf_dir):
+    supp = _read(spark, sf_dir, "supplier")
+    queries = supp.select(
+        F.col("s_suppkey").alias("query_id"),
+        (_lon(F.col("s_suppkey") * F.lit(31))).alias("lon"),
+        (_lat(F.col("s_suppkey") * F.lit(31))).alias("lat"),
+    )
+    cust = _read(spark, sf_dir, "customer")
+    points = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    )
+    out = knn_join(queries, points, k=5, res_start=9)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_raster_assign(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("feature_id"),
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    )
+    out = raster_tile_assignment(pts, z=10)
+    return out.select(
+        F.col("feature_id").cast("bigint").alias("feature_id"),
+        F.col("tile_x").cast("bigint").alias("tile_x"),
+        F.col("tile_y").cast("bigint").alias("tile_y"),
+    )
+
+
+def _docs_with_planted_dups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+def q_dedup_exact(spark, sf_dir):
+    out = exact_duplicates(_docs_with_planted_dups(spark, sf_dir))
+    return out.select(
+        "text_hash",
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+        F.array_join(F.transform("doc_ids", lambda d: d.cast("string")), ",").alias("ids_csv"),
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = minhash_signatures(docs, num_hashes=16)
+    return sigs.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("h0"),
+        F.element_at("sig", 8).alias("h7"),
+        F.element_at("sig", 16).alias("h15"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+    )
+
+
+def _docs_with_near_dups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz pp")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def q_minhash_neardup(spark, sf_dir):
+    out = minhash_near_duplicates(_docs_with_near_dups(spark, sf_dir), threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, bits=16)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = ngram_jaccard_pairs(docs, threshold=0.02)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    out = quality_counts(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        F.col("n_stopwords").cast("bigint").alias("n_stopwords"),
+        F.col("n_punct").cast("bigint").alias("n_punct"),
+        F.col("n_digits").cast("bigint").alias("n_digits"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id",
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sign_lsh_topk(queries, emb, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    out = embedding_near_duplicates(emb.unionByName(planted), threshold=0.999)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty_raw"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.round("sum_qty_raw", 2).alias("sum_qty"),
+            "sum_base_price",
+            F.col("count_order").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gaps = ev.select(
+        "user_id", "ts",
+        F.when(
+            epoch - F.lag(epoch).over(w) > 1800,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.sum("new_session") + F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "osm_point_features": q_osm_point_features,
+        "osm_way_resolution": q_osm_way_resolution,
+        "osm_props_merge": q_osm_props_merge,
+        "osm_fixture_parity": q_osm_fixture_parity,
+        "osm_relation_geometry": q_osm_relation_geometry,
+        "osm_polytag_classify": q_osm_polytag_classify,
+        "osm_convert_corpus": q_osm_convert_corpus,
+        "tile_cells": q_tile_cells,
+        "tile_rollup": q_tile_rollup,
+        "pip_diamonds": q_pip_diamonds,
+        "knn_cells": q_knn,
+        "raster_assign": q_raster_assign,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "tpch_q1": q_tpch_q1,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _fixture_names() -> list[str]:
+    return sorted(
+        n for n in os.listdir(REFERENCE_DATA)
+        if os.path.isfile(os.path.join(REFERENCE_DATA, n))
+        and os.path.exists(os.path.join(REFERENCE_EXPECTED, n + ".geojson"))
+    )
+
+
+def _cell_sql(lon: str, lat: str, res: int) -> str:
+    n = 1 << res
+    x = f"greatest(0, least({n - 1}, floor((({lon}) - -180.0) / 360.0 * {n})::bigint))"
+    y = f"greatest(0, least({n - 1}, floor((({lat}) - -90.0) / 180.0 * {n})::bigint))"
+    return f"({res}::bigint * {1 << 56} + {x} * {1 << 28} + {y})"
+
+
+_SHINGLE_SQL = (
+    "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
+    "for i in generate_series(1, greatest(len(tk)-2, 0))])"
+)
+_TOKENS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _minhash_sql(seed: int) -> str:
+    return (f"list_min(list_transform(sh, s -> "
+            f"('0x' || substr(md5('{seed}:' || s), 1, 15))::bigint))")
+
+
+def _jaccard_pairs_sql(source_sql: str, threshold: float) -> str:
+    return f"""
+with src as ({source_sql}),
+sh as (
+  select doc_id, {_SHINGLE_SQL} sh
+  from (select doc_id, {_TOKENS_SQL} tk from src)
+),
+nonempty as (select * from sh where len(sh) > 0)
+select a.doc_id::bigint id_a, b.doc_id::bigint id_b,
+       round(len(list_intersect(a.sh, b.sh))::double
+             / len(list_distinct(list_concat(a.sh, b.sh)))::double, 9) jaccard
+from nonempty a join nonempty b on a.doc_id < b.doc_id
+where len(list_intersect(a.sh, b.sh))::double
+      / len(list_distinct(list_concat(a.sh, b.sh)))::double >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lon_c = LON_SQL.format(k="c_custkey")
+    lat_c = LAT_SQL.format(k="c_custkey")
+
+    fixture_values = ", ".join(f"('{n}', true)" for n in _fixture_names())
+
+    with open(os.path.join(REFERENCE_EXPECTED, "relation.json.geojson"), encoding="utf-8") as f:
+        golden = json.load(f)
+    rel_geom = canonical_json(golden["features"][0]["geometry"]).replace("'", "''")
+
+    # polytag CASE chain mirroring POLYGON_TAGS
+    cases = []
+    for k, (mode, values) in POLYGON_TAGS.items():
+        if mode == "any":
+            res = "true"
+        elif mode == "whitelist":
+            lst = ", ".join(f"'{v}'" for v in sorted(values))
+            res = f"tag_value in ({lst})" if values else "false"
+        else:
+            lst = ", ".join(f"'{v}'" for v in sorted(values))
+            res = f"tag_value not in ({lst})" if values else "true"
+        cases.append(f"when tag_key = '{k}' then {res}")
+    polytag_case = "case " + " ".join(cases) + " else false end"
+
+    keys_arr = ("['building','highway','natural','waterway','barrier','railway',"
+                "'power','aeroway','man_made','landuse','unknown_key']")
+    vals_arr = ("['services','cliff','riverbank','yes','plant','taxiway',"
+                "'coastline','wall']")
+
+    # simhash 16-bit oracle: per-token hashes, majority vote per bit
+    sim_bits = " + ".join(
+        f"(case when sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) >= 0 "
+        f"then {1 << b}::bigint else 0::bigint end)"
+        for b in range(16)
+    )
+
+    # stopword score per language (same lists as pipeline.text.STOPWORDS)
+    lang_scores = []
+    for lang in sorted(STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        lang_scores.append(
+            f"select doc_id, '{lang}' lang, "
+            f"len(list_filter({_TOKENS_SQL}, t -> t in ({lst}))) score "
+            f"from documents"
+        )
+    lang_union = " union all ".join(lang_scores)
+
+    cos_sql = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> a.embedding[i]::double * b.embedding[i]::double)) / "
+        "(sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double))) * "
+        "sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double))))"
+    )
+
+    mercator_y = (
+        "greatest(0, least(1023, floor((1.0 - ln(tan(radians(greatest(-85.0511287798066, "
+        "least(85.0511287798066, lat)))) + 1.0/cos(radians(greatest(-85.0511287798066, "
+        "least(85.0511287798066, lat))))) / pi()) / 2.0 * 1024)::bigint))"
+    )
+
+    near_dup_src = (
+        "select doc_id, text from documents where doc_id < 50 "
+        "union all select doc_id + 1000000, text || ' qq zz pp' "
+        "from documents where doc_id < 50"
+    )
+
+    return {
+        "osm_point_features": f"""
+            select c_nationkey::bigint nation_id,
+                   'node/' || c_custkey node_id,
+                   {lon_c} lon, {lat_c} lat
+            from customer
+        """,
+        "osm_way_resolution": f"""
+            with resolved as (
+              select l_orderkey, l_linenumber, l_partkey,
+                     {LON_SQL.format(k='l_partkey')} lon,
+                     {LAT_SQL.format(k='l_partkey')} lat
+              from lineitem join part on l_partkey = p_partkey
+              where p_partkey % 10 <> 0
+            ),
+            sized as (
+              select *, count(*) over (partition by l_orderkey) n,
+                     row_number() over (partition by l_orderkey
+                                        order by l_linenumber, l_partkey) - 1 pos
+              from resolved
+            )
+            select l_orderkey::bigint way_id, pos::bigint pos, lon, lat
+            from sized where n >= 2
+        """,
+        "osm_props_merge": """
+            select * from (values
+              ('node/1', 'tagged-name', 'cafe', 'alice'),
+              ('node/2', 'prop-only', null, null)
+            ) t(feature_id, name, amenity, osm_user)
+        """,
+        "osm_fixture_parity": f"select * from (values {fixture_values}) t(fixture, matches)",
+        "osm_relation_geometry": f"select 'relation.json' doc_id, '{rel_geom}' geometry_json",
+        "osm_polytag_classify": f"""
+            with t as (
+              select p_partkey part_id,
+                     {keys_arr}[(p_partkey % 11 + 1)::int] tag_key,
+                     {vals_arr}[(p_partkey % 8 + 1)::int] tag_value
+              from part
+            )
+            select part_id, tag_key, tag_value, {polytag_case} is_polygon from t
+        """,
+        "tile_cells": f"""
+            select c_custkey point_id,
+                   {_cell_sql(lon_c, lat_c, 7)} cell_r7,
+                   {_cell_sql(lon_c, lat_c, 8)} cell_r8,
+                   {_cell_sql(lon_c, lat_c, 9)} cell_r9,
+                   {_cell_sql(lon_c, lat_c, 10)} cell_r10,
+                   {_cell_sql(lon_c, lat_c, 11)} cell_r11,
+                   {_cell_sql(lon_c, lat_c, 12)} cell_r12
+            from customer
+        """,
+        "tile_rollup": f"""
+            select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
+            from customer group by 1
+        """,
+        "pip_diamonds": f"""
+            with pts as (select c_custkey point_id, {lon_c} lon, {lat_c} lat from customer),
+            polys as (
+              select n_nationkey poly_id,
+                     (n_nationkey * 7919 % 30000) / 100.0 - 150.0 cx,
+                     (n_nationkey * 104729 % 14000) / 100.0 - 70.0 cy
+              from nation
+            )
+            select point_id::bigint point_id, poly_id::bigint poly_id
+            from pts, polys
+            where abs(lon - cx) + abs(lat - cy) < 12.0
+        """,
+        "knn_cells": f"""
+            with q as (select s_suppkey query_id,
+                              {LON_SQL.format(k='s_suppkey * 31')} qlon,
+                              {LAT_SQL.format(k='s_suppkey * 31')} qlat
+                       from supplier),
+            p as (select c_custkey point_id, {lon_c} plon, {lat_c} plat from customer),
+            scored as (
+              select query_id, point_id,
+                     (qlon - plon) * (qlon - plon) + (qlat - plat) * (qlat - plat) d2
+              from q, p
+            ),
+            ranked as (
+              select query_id, point_id,
+                     row_number() over (partition by query_id
+                                        order by d2 asc, point_id asc) rnk
+              from scored
+            )
+            select query_id::bigint query_id, point_id::bigint neighbor_id,
+                   rnk::bigint rank
+            from ranked where rnk <= 5
+        """,
+        "raster_assign": f"""
+            with pts as (select c_custkey feature_id, {lon_c} lon, {lat_c} lat from customer)
+            select feature_id::bigint feature_id,
+                   greatest(0, least(1023,
+                     floor((lon - -180.0) / 360.0 * 1024)::bigint)) tile_x,
+                   {mercator_y} tile_y
+            from pts
+        """,
+        "dedup_exact": """
+            with u as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text from documents where doc_id < 20
+            )
+            select md5(text) text_hash, count(*)::bigint n_dups,
+                   string_agg(doc_id::varchar, ',' order by doc_id) ids_csv
+            from u group by md5(text) having count(*) > 1
+        """,
+        "minhash_signatures": f"""
+            with tk as (
+              select doc_id, {_TOKENS_SQL} tk from documents where doc_id < 100
+            ),
+            sh as (select doc_id, {_SHINGLE_SQL} sh from tk)
+            select doc_id, {_minhash_sql(0)} h0, {_minhash_sql(7)} h7,
+                   {_minhash_sql(15)} h15, len(sh)::bigint n_shingles
+            from sh where len(sh) > 0
+        """,
+        "minhash_neardup": _jaccard_pairs_sql(near_dup_src, 0.5),
+        "simhash": f"""
+            with tk as (
+              select doc_id, {_TOKENS_SQL} tk from documents where doc_id < 200
+            ),
+            tok as (
+              select doc_id, ('0x' || substr(md5(unnest(tk)), 1, 15))::bigint h from tk
+            ),
+            agg as (select doc_id, {sim_bits} simhash from tok group by doc_id)
+            select t.doc_id, coalesce(a.simhash, 0) simhash
+            from tk t left join agg a on t.doc_id = a.doc_id
+        """,
+        "ngram_jaccard": _jaccard_pairs_sql(
+            "select doc_id, text from documents where doc_id < 40", 0.02
+        ),
+        "text_quality": f"""
+            select doc_id,
+                   length(text)::bigint n_chars,
+                   len({_TOKENS_SQL})::bigint n_tokens,
+                   len(list_distinct({_TOKENS_SQL}))::bigint n_distinct_tokens,
+                   len(list_filter({_TOKENS_SQL}, t -> t in
+                       ('the','and','of','to','in','is','for','with')))::bigint n_stopwords,
+                   (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::bigint n_punct,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::bigint n_digits
+            from documents
+        """,
+        "lang_id": f"""
+            with scores as ({lang_union}),
+            ranked as (
+              select doc_id, lang, score,
+                     row_number() over (partition by doc_id
+                                        order by score desc, lang asc) rn
+              from scores
+            )
+            select doc_id, case when score > 0 then lang else 'und' end pred_lang
+            from ranked where rn = 1
+        """,
+        "doc_fingerprint": r"""
+            select doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fingerprint
+            from documents
+        """,
+        "ann_topk": f"""
+            with q as (select vec_id query_id, embedding from embeddings where vec_id < 8),
+            scored as (
+              select a.query_id, b.vec_id neighbor_id, round({cos_sql}, 9) cos
+              from q a, embeddings b
+            ),
+            ranked as (
+              select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) rnk
+              from scored
+            )
+            select query_id, neighbor_id, rnk::bigint rank from ranked where rnk <= 5
+        """,
+        "embedding_neardup": f"""
+            with u as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000, embedding from embeddings where vec_id < 5
+            )
+            select a.vec_id::bigint id_a, b.vec_id::bigint id_b
+            from u a join u b on a.vec_id < b.vec_id
+            where round({cos_sql}, 9) >= 0.999
+        """,
+        "tpch_q1": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) sum_qty,
+                   round(sum(l_extendedprice), 2) sum_base_price,
+                   count(*)::bigint count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            select date_trunc('hour', ts) bucket_hour, event_type,
+                   count(*)::bigint n_events, round(sum(value), 2) sum_value
+            from events group by 1, 2
+        """,
+        "events_sessionize": """
+            with gaps as (
+              select user_id,
+                     case when epoch(ts) - lag(epoch(ts)) over
+                          (partition by user_id order by ts) > 1800
+                          then 1 else 0 end new_session
+              from events
+            )
+            select user_id, (sum(new_session) + 1)::bigint n_sessions,
+                   count(*)::bigint n_events
+            from gaps group by user_id
+        """,
+    }

@@ -1,0 +1,88 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: documents/sec through the full OSM->GeoJSON conversion
+pipeline (parse -> resolve joins -> stitch kernels -> emit) over the
+deterministic synthetic interleaved corpus, plus per-query wall times for
+the operator families in __spark_entry__.queries().
+
+Execution is forced with the noop sink (full computation, no driver
+collect) so timings measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+
+BENCH_QUERIES = [
+    "osm_point_features",
+    "osm_way_resolution",
+    "tile_cells",
+    "tile_rollup",
+    "pip_diamonds",
+    "knn_cells",
+    "raster_assign",
+    "dedup_exact",
+    "minhash_neardup",
+    "simhash",
+    "text_quality",
+    "ann_topk",
+    "ann_lsh",
+    "tpch_q1",
+    "events_hourly",
+]
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from osm2geojson_lite_spark import Options, convert
+    from osm2geojson_lite_spark.session import get_spark
+    from osm2geojson_lite_spark.sources.synth import generate_documents
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    # headline: full conversion throughput over the synthetic corpus
+    docs = generate_documents(spark, N_DOCS, partitions=CPUS * 2).persist()
+    docs.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    force(convert(docs, Options(complete_feature=True)))
+    convert_s = time.perf_counter() - t0
+    timings["osm_convert"] = round(convert_s, 3)
+    docs_per_sec = N_DOCS / convert_s
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "docs_per_sec_convert",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": N_DOCS,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,3 +64,20 @@ def classify_is_polygon(tag_items) -> bool:
         else:
             is_polygon = True
     return is_polygon
+
+
+def polygon_class_col(key_col, value_col):
+    """Column-expression twin of :func:`classify_is_polygon` for a single
+    (key, value) tag: CASE chain over the polytag table, JVM-side."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(False)
+    for k, (mode, values) in POLYGON_TAGS.items():
+        if mode == _ANY:
+            res = F.lit(True)
+        elif mode == _W:
+            res = value_col.isin(*sorted(values)) if values else F.lit(False)
+        else:
+            res = ~value_col.isin(*sorted(values)) if values else F.lit(True)
+        expr = F.when(key_col == F.lit(k), res).otherwise(expr)
+    return expr

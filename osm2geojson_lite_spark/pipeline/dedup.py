@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale shape (the part that must survive 100 TB):
+- shingle sets are deduplicated *per document* before any shuffle
+  (map-side ``array_distinct``), so shuffles carry O(distinct shingles);
+- MinHash collapses each document to a fixed-width signature (one row), and
+  LSH band buckets bound pair expansion to candidates that share a band —
+  never all-pairs;
+- pair generation joins bucket members on ``(band, key)`` with the
+  ``id_a < id_b`` triangle predicate, so each pair appears once;
+- exact verification (n-gram Jaccard) runs only on the candidate set.
+
+All hashes are md5-based 60-bit bigints (``token_hash_col``) so a DuckDB
+oracle reproduces signatures, buckets, and pairs exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import token_hash_col, tokens_col
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text (order-free set).
+
+    Built with higher-order functions only: tokenize -> sliding window via
+    ``transform(sequence(...))`` -> ``array_distinct``.
+    """
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, n_dups, doc_ids).
+
+    One hash-groupBy; ids sorted so output is order-independent.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       ngram: int = 3) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes]).
+
+    Permutation ``i`` hashes shingle ``s`` as ``h(i || ':' || s)``; the
+    signature element is the min over the document's shingle set.  Computed
+    as ``transform`` + ``array_min`` over the in-row shingle array — zero
+    shuffles; the document collapses to one signature row map-side.
+    """
+    sh = shingles_col(F.col(text_col), ngram)
+
+    def seeded(i):
+        # arity-1 lambda: a 2-arg lambda would receive the array index
+        return lambda s: token_hash_col(F.concat(F.lit(f"{i}:"), s))
+
+    sig = F.array(*[
+        F.array_min(F.transform(sh, seeded(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ])
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        sig.alias("sig"),
+        F.size(sh).alias("n_shingles"),
+    ).filter(F.col("n_shingles") > 0)
+
+
+def minhash_near_duplicates(docs: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", num_hashes: int = 64,
+                            bands: int = 16, ngram: int = 3,
+                            threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard) with exact verification.
+
+    LSH: ``bands`` bands of ``num_hashes/bands`` rows; a candidate pair
+    shares at least one band key.  Candidates are verified with exact
+    shingle-set Jaccard, so the (rare) LSH false positives drop out and the
+    output equals the brute-force pair set up to LSH recall
+    (P[detect | J=0.8, 16x4] > 0.999).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, ngram=ngram
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), ngram).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 48) -> DataFrame:
+    """(doc_id, simhash: bigint) — ``bits``-wide SimHash over token hashes.
+
+    Bit ``b`` of the fingerprint is set iff the count of tokens whose hash
+    has bit ``b`` set is >= half the token count (majority vote with +1/-1
+    weights, ties -> set).  Entirely in-row: the token-hash array folds into
+    ``bits`` conditional sums via ``aggregate`` — no shuffle, no UDF.
+    """
+    toks = tokens_col(F.col(text_col))
+    hashes = F.transform(toks, token_hash_col)
+    def bit_sum(b):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    bit_sums = [bit_sum(b) for b in range(bits)]
+    fingerprint = None
+    for b, s in enumerate(bit_sums):
+        term = F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(toks) > 0, fingerprint).otherwise(F.lit(0)).alias("simhash"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", block_col: str | None = None,
+                        ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold, optionally blocked.
+
+    Without ``block_col`` this is the O(n^2) exact baseline (use on bounded
+    inputs / verification sets); with it, pairs form only within a block —
+    the classic blocking pattern that keeps the join linear in block sizes.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        shingles_col(F.col(text_col), ngram).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    keys = ["block"] if block_col else []
+    a = sh.select(*keys, F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(*keys, F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = a.join(b, keys, "inner") if keys else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

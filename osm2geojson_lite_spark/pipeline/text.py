@@ -57,12 +57,13 @@ def language_id(docs: DataFrame, *, id_col: str = "doc_id",
     list; argmax wins, alphabetical language code breaks ties, zero hits
     everywhere -> 'und'."""
     toks = tokens_col(F.col(text_col))
+
+    def stop_score(words):
+        wl = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
     scores = [
-        F.struct(
-            F.size(F.filter(toks, lambda t, ws=words: F.array_contains(
-                F.array(*[F.lit(w) for w in ws]), t))).alias("score"),
-            F.lit(lang).alias("lang"),
-        )
+        F.struct(stop_score(words).alias("score"), F.lit(lang).alias("lang"))
         for lang, words in sorted(STOPWORDS.items())
     ]
     # array_max over (score, lang) structs: max score, then max lang — to get

@@ -54,7 +54,11 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         F.col(p_lat).cast("double").alias("plat"),
     )
 
-    dist2 = (F.col("qlon") - F.col("plon")) ** 2 + (F.col("qlat") - F.col("plat")) ** 2
+    # explicit products (not pow) so an ANSI-SQL oracle reproduces the exact
+    # IEEE operation sequence bit-for-bit
+    dx = F.col("qlon") - F.col("plon")
+    dy = F.col("qlat") - F.col("plat")
+    dist2 = dx * dx + dy * dy
 
     results = None
     remaining = q

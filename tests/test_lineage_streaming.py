@@ -1,0 +1,93 @@
+"""X6 checkpoint/lineage/resume + streaming ingest + span invariant (X5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_lite_spark import Options, convert
+from osm2geojson_lite_spark.lineage import (
+    LineageLog,
+    convert_with_lineage,
+    read_converted,
+)
+from osm2geojson_lite_spark.sources.synth import generate_documents
+from osm2geojson_lite_spark.streaming.ingest import stream_convert
+
+
+def test_kill_resume_no_recompute(spark, tmp_path):
+    docs = generate_documents(spark, 40).persist()
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+
+    # run 1: crash after 2 of 4 jobs (8 buckets, 2 per job)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        convert_with_lineage(
+            docs, out, lin, run_id="run1", n_buckets=8, buckets_per_job=2,
+            fail_after_jobs=2,
+        )
+    done_before = set(LineageLog(lin).completed_keys(spark, "run1"))
+    assert len(done_before) == 4
+    partial = read_converted(spark, out)
+    n_partial = partial.count()
+    assert 0 < n_partial < 40
+
+    # run 2 (resume): completes only the remaining buckets
+    convert_with_lineage(docs, out, lin, run_id="run1", n_buckets=8, buckets_per_job=2)
+    result = read_converted(spark, out)
+    assert result.count() == 40
+    assert result.select("doc_id").distinct().count() == 40  # no recompute dups
+    assert set(LineageLog(lin).completed_keys(spark, "run1")) == {str(b) for b in range(8)}
+
+    # resumed output identical to a fresh single-shot run
+    fresh = {r["doc_id"]: r["geojson"]
+             for r in convert(docs, Options(complete_feature=True)).collect()}
+    for r in result.collect():
+        assert fresh[r["doc_id"]] == r["geojson"]
+
+
+def test_streaming_ingest_converts_drops(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    generate_documents(spark, 12).write.parquet(inp)
+
+    q = stream_convert(spark, inp, outp, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(outp)
+    assert got.count() == 12
+
+    # second drop: only the new file is processed (checkpoint offsets)
+    generate_documents(spark, 5, seed=43).withColumn(
+        "doc_id", F.concat(F.lit("b-"), F.col("doc_id"))
+    ).write.mode("append").parquet(inp)
+    q2 = stream_convert(spark, inp, outp, ckpt)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(outp)
+    assert final.count() == 17
+    assert final.select("doc_id").distinct().count() == 17
+    sample = json.loads(final.limit(1).collect()[0]["geojson"])
+    assert sample["type"] in ("FeatureCollection",)
+
+
+def test_span_sequence_invariant(spark):
+    """X5: (kind, text, media_ref) ordered by offset is identical before and
+    after running the engine — documents pass through untouched."""
+    docs = generate_documents(spark, 25).persist()
+    before = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"])
+                      for s in sorted(r["spans"], key=lambda s: s["offset"])]
+        for r in docs.collect()
+    }
+    out = convert(docs, Options(complete_feature=True))
+    assert out.count() == 25  # engine ran
+    after = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"])
+                      for s in sorted(r["spans"], key=lambda s: s["offset"])]
+        for r in docs.collect()
+    }
+    assert before == after
+    media_docs = [d for d, spans in after.items() if any(k == "media" for k, _, _ in spans)]
+    assert media_docs  # corpus actually interleaves media spans

@@ -1,0 +1,216 @@
+"""Training-pipeline operator tests: dedup, similarity, text analysis,
+multimodal — each against a pure-Python oracle on real testdata (sf0.001)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_lite_spark.pipeline import (
+    brute_force_topk,
+    doc_fingerprint,
+    exact_duplicates,
+    embedding_near_duplicates,
+    language_id,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_counts,
+    sign_lsh_topk,
+    simhash,
+)
+from osm2geojson_lite_spark.pipeline.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    media_byte_stats,
+    synthetic_media,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def docs_py(documents):
+    return [(str(r["doc_id"]), r["text"]) for r in documents.collect()]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def _tokens(text):
+    return [t for t in text.lower().split(" ") if t]
+
+
+def _shingles(text, n=3):
+    toks = _tokens(text)
+    return set(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_exact_duplicates_with_injected_dups(spark, documents):
+    dup = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 1000000)
+    out = exact_duplicates(documents.unionByName(dup)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_dups"] == 2
+
+
+def test_minhash_signature_matches_python_oracle(spark, documents, docs_py):
+    got = {r["doc_id"]: r["sig"] for r in
+           minhash_signatures(documents.limit(5), num_hashes=8).collect()}
+    for doc_id, text in docs_py[:5]:
+        sh = _shingles(text)
+        if not sh:
+            continue
+        want = [min(_h60(f"{i}:{s}") for s in sh) for i in range(8)]
+        assert list(got[int(doc_id)]) == want
+
+
+def test_minhash_near_duplicates_finds_planted_pair(spark, documents):
+    base = documents.limit(1).collect()[0]
+    text = base["text"]
+    toks = text.split(" ")
+    mutated = " ".join(toks[:-1] + ["zzz"])  # ~high jaccard variant
+    extra = spark.createDataFrame(
+        [(9000001, text), (9000002, mutated)], "doc_id long, text string"
+    )
+    docs = documents.select("doc_id", "text").unionByName(extra)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert any({a, b} >= {9000001, 9000002} or (a, b) == (9000001, 9000002)
+               for a, b in pairs)
+
+
+def test_simhash_close_for_similar_far_for_different(spark, documents):
+    rows = documents.limit(2).collect()
+    t0, t1 = rows[0]["text"], rows[1]["text"]
+    mutated = " ".join(t0.split(" ")[:-2] + ["qqq", "zzz"])
+    df = spark.createDataFrame(
+        [(1, t0), (2, mutated), (3, t1)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ham_sim = bin(out[1] ^ out[2]).count("1")
+    ham_diff = bin(out[1] ^ out[3]).count("1")
+    assert ham_sim < ham_diff
+
+
+def test_ngram_jaccard_pairs_matches_python(spark, documents, docs_py):
+    sub = documents.filter(F.col("doc_id") < 30)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(sub, threshold=0.05).collect()}
+    want = {}
+    subset = [(d, t) for d, t in docs_py if int(d) < 30]
+    for i, (da, ta) in enumerate(subset):
+        for db, tb in subset[i + 1:]:
+            sa, sb = _shingles(ta), _shingles(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.05:
+                key = (int(da), int(db)) if int(da) < int(db) else (int(db), int(da))
+                want[key] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12)
+
+
+def test_brute_force_topk_matches_python(spark, embeddings):
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in embeddings.collect()}
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in brute_force_topk(queries, embeddings, k=5, query_id="query_id").collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for q in range(3):
+        ranked = sorted(
+            ((round(cos(vecs[q], v), 9), vid) for vid, v in vecs.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert [got[q][i + 1] for i in range(5)] == [vid for _, vid in ranked]
+
+
+def test_sign_lsh_recalls_self(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sign_lsh_topk(queries, embeddings, k=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    for q in range(5):
+        assert top1[q] == q  # a vector's nearest neighbor is itself
+
+
+def test_embedding_near_duplicates_with_planted(spark, embeddings):
+    planted = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(777777).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_duplicates(
+        embeddings.unionByName(planted), threshold=0.999
+    ).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 777777 for r in pairs)
+
+
+def test_quality_counts_matches_python(spark, documents, docs_py):
+    got = {r["doc_id"]: r for r in quality_counts(documents.limit(10)).collect()}
+    for doc_id, text in docs_py[:10]:
+        r = got[int(doc_id)]
+        toks = _tokens(text)
+        assert r["n_chars"] == len(text)
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct_tokens"] == len(set(toks))
+        assert r["n_punct"] == sum(text.count(c) for c in ".,;:!?")
+
+
+def test_language_id_beats_chance(spark, documents):
+    joined = language_id(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    n = joined.count()
+    hits = joined.filter(F.col("pred_lang") == F.col("lang")).count()
+    assert hits / n > 0.22  # word-soup corpus; still above 1/5 chance
+
+
+def test_doc_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, " hello  world ")],
+        "doc_id long, text string",
+    )
+    out = [r["fingerprint"] for r in doc_fingerprint(df).orderBy("doc_id").collect()]
+    assert out[0] == out[1] == out[2]
+
+
+def test_media_pipeline_plumbing(spark):
+    media = synthetic_media(spark, 30)
+    stats = media_byte_stats(media).collect()
+    assert len(stats) == 30 and all(r["n_bytes"] > 0 for r in stats)
+    decoded = decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 30
+    imgs = [r for r in rows if r["kind"] == "image"]
+    assert all(r["width"] >= 16 and r["height"] >= 16 for r in imgs)
+    plan = frame_sample_plan(decoded).collect()
+    assert len(plan) > 0 and all(r["frame_idx"] % 10 == 0 for r in plan)
+
+
+def test_decode_media_stub_raises(spark):
+    media = synthetic_media(spark, 3)
+    with pytest.raises(Exception):
+        decode_media(media, fake=False).collect()
