@@ -53,10 +53,16 @@ def main() -> None:
     from osm2geojson_lite_spark.session import get_spark
     from osm2geojson_lite_spark.sources.synth import generate_documents
 
-    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16),
+                      adaptive=False)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+
+    # warmup: compile the conversion DAG's codegen + start Python workers
+    # outside the timed region (one-time JVM cost, not throughput)
+    force(convert(generate_documents(spark, 16, partitions=8),
+                  Options(complete_feature=True)))
 
     # headline: full conversion throughput over the synthetic corpus
     docs = generate_documents(spark, N_DOCS, partitions=CPUS * 2).persist()

@@ -46,10 +46,13 @@ class LineageLog:
         )
         return [r["partition_key"] for r in rows]
 
-    def mark_done(self, spark: SparkSession, run_id: str, partition_key: str,
-                  n_rows: int, wall_ms: int) -> None:
-        row = [(run_id, partition_key, "done", n_rows, wall_ms, int(time.time() * 1000))]
-        spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(self.path)
+    def mark_done(self, spark: SparkSession, run_id: str, keys_rows: list[tuple[str, int]],
+                  wall_ms: int) -> None:
+        """Append one 'done' record per (partition_key, n_rows) — a single
+        commit per job, not per bucket."""
+        now = int(time.time() * 1000)
+        rows = [(run_id, k, "done", n, wall_ms, now) for k, n in keys_rows]
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(self.path)
 
 
 def bucket_col(key, n_buckets: int):
@@ -102,8 +105,8 @@ def convert_with_lineage(docs: DataFrame, output_path: str, lineage_path: str, *
             .filter(F.col("bucket").isin(group))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        for b in group:
-            log.mark_done(spark, run_id, str(b), int(counts.get(b, 0)), wall_ms)
+        log.mark_done(spark, run_id,
+                      [(str(b), int(counts.get(b, 0))) for b in group], wall_ms)
     return run_id
 
 

@@ -44,6 +44,28 @@ def merge_props(props_json: str, tags_json: str) -> dict:
     return props
 
 
+def merged_props_json(props_json: str, tags_json: str) -> str:
+    """Canonical JSON of getProps().  Fast path: parse emits canonical
+    strings, so a tag-less element's properties pass through without a
+    JSON round-trip (the overwhelmingly common case)."""
+    if not isinstance(tags_json, str) or tags_json == "{}":
+        return props_json if isinstance(props_json, str) else "{}"
+    return canonical_json(merge_props(props_json, tags_json))
+
+
+def _fmt_float(f: float) -> str:
+    """JSON.stringify of a JS number: integral -> int form, NaN/inf -> null."""
+    if f != f or f in (_INF, _NINF):
+        return "null"
+    if f == int(f) and -1e15 < f < 1e15:
+        return str(int(f))
+    return repr(f)
+
+
+_INF = float("inf")
+_NINF = float("-inf")
+
+
 def _feature_row(doc_id, out_pos, sub_seq, feature: dict) -> dict:
     geom = feature.get("geometry")
     return {
@@ -75,14 +97,32 @@ def build_node_feature(composite, props_json, tags_json, lon, lat) -> dict:
 
 
 def node_features_kernel(batches) -> Iterator:
+    """Point emission by direct string assembly — byte-identical to
+    ``canonical_json(build_node_feature(...))`` (pinned by a unit test) but
+    without the per-row JSON round-trip."""
     import pandas as pd
 
     for pdf in batches:
-        rows = []
-        for r in pdf.itertuples():
-            feature = build_node_feature(r.composite, r.props_json, r.tags_json, r.lon, r.lat)
-            rows.append(_feature_row(r.doc_id, r.out_pos, 0, feature))
-        yield pd.DataFrame(rows, columns=_FEATURE_COLS)
+        out = {k: [] for k in _FEATURE_COLS}
+        for doc_id, out_pos, comp, pj, tj, lon, lat in zip(
+            pdf["doc_id"], pdf["out_pos"], pdf["composite"], pdf["props_json"],
+            pdf["tags_json"], pdf["lon"], pdf["lat"],
+        ):
+            props = merged_props_json(pj, tj)
+            geom = (f'{{"type":"Point","coordinates":['
+                    f"{_fmt_float(parse_float_js(lon))},"
+                    f"{_fmt_float(parse_float_js(lat))}]}}")
+            out["doc_id"].append(doc_id)
+            out["out_pos"].append(out_pos)
+            out["sub_seq"].append(0)
+            out["feature_id"].append(comp)
+            out["geom_type"].append("Point")
+            out["feature_json"].append(
+                f'{{"type":"Feature","id":"{comp}","properties":{props},'
+                f'"geometry":{geom}}}'
+            )
+            out["geometry_json"].append(geom)
+        yield pd.DataFrame(out, columns=_FEATURE_COLS)
 
 
 # ---------------------------------------------------------------------------
@@ -110,17 +150,46 @@ def build_way_feature(composite, props_json, tags_json, tag_events_json, coords_
 
 
 def way_features_kernel(batches) -> Iterator:
+    """LineString/Polygon emission by direct string assembly (same output as
+    ``canonical_json(build_way_feature(...))``, no JSON round-trip for the
+    feature envelope)."""
     import pandas as pd
 
     for pdf in batches:
-        rows = []
-        for r in pdf.itertuples():
-            feature = build_way_feature(
-                r.composite, r.props_json, r.tags_json, r.tag_events_json, r.coords_json
+        out = {k: [] for k in _FEATURE_COLS}
+        for doc_id, out_pos, comp, pj, tj, tev, cj in zip(
+            pdf["doc_id"], pdf["out_pos"], pdf["composite"], pdf["props_json"],
+            pdf["tags_json"], pdf["tag_events_json"], pdf["coords_json"],
+        ):
+            coords_tokens = json.loads(cj) if isinstance(cj, str) else []
+            if len(coords_tokens) <= 1:
+                continue
+            coords = [[parse_float_js(c[0]), parse_float_js(c[1])] for c in coords_tokens]
+            tag_events = json.loads(tev) if isinstance(tev, str) else []
+            geom_type = "LineString"
+            if classify_is_polygon(tag_events) and is_ring(coords):
+                geom_type = "Polygon"
+                if ring_direction(coords) != "counterclockwise":
+                    coords.reverse()
+            pts = ",".join(
+                f"[{_fmt_float(x)},{_fmt_float(y)}]" for x, y in coords
             )
-            if feature is not None:
-                rows.append(_feature_row(r.doc_id, r.out_pos, 0, feature))
-        yield pd.DataFrame(rows, columns=_FEATURE_COLS)
+            if geom_type == "Polygon":
+                geom = f'{{"type":"Polygon","coordinates":[[{pts}]]}}'
+            else:
+                geom = f'{{"type":"LineString","coordinates":[{pts}]}}'
+            props = merged_props_json(pj, tj)
+            out["doc_id"].append(doc_id)
+            out["out_pos"].append(out_pos)
+            out["sub_seq"].append(0)
+            out["feature_id"].append(comp)
+            out["geom_type"].append(geom_type)
+            out["feature_json"].append(
+                f'{{"type":"Feature","id":"{comp}","properties":{props},'
+                f'"geometry":{geom}}}'
+            )
+            out["geometry_json"].append(geom)
+        yield pd.DataFrame(out, columns=_FEATURE_COLS)
 
 
 # ---------------------------------------------------------------------------

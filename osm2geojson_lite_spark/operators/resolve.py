@@ -178,29 +178,50 @@ def visibility_filter(live_rc: DataFrame, *, render_tagged: bool, exclude_way: b
 
 
 def relation_closure(roots: DataFrame, edges: DataFrame, *, max_depth: int = MAX_RELATION_DEPTH) -> DataFrame:
-    """A3: transitive closure root->reachable relation, via iterative join.
+    """A3: transitive closure root -> reachable relation.
 
-    Depth-capped (cycles would never terminate; the reference would blow its
-    stack, ``relation.ts:172-174``). Each level is one shuffle join; real OSM
-    nesting is 2-3 levels deep, so the loop runs a handful of times.
+    One cogrouped Arrow kernel per document (documents are independent
+    universes, so the closure never crosses ``doc_id``): BFS from each root
+    over that doc's relation->relation edge list, visited-set cycle-safe
+    (the reference would blow its stack on cycles, ``relation.ts:172-174``).
+    A single shuffle on ``doc_id``; no driver-side iteration.  The edge
+    groups are relation metadata only — tiny even for mega-documents.
+
+    Output order is irrelevant (a set): the relation kernel re-derives the
+    reference's member ordering from its own memoized DFS.
     """
-    closure = roots.select("doc_id", "root_inst", F.col("root_inst").alias("rel_inst"))
-    frontier = closure
-    for _ in range(max_depth):
-        nxt = (
-            frontier.join(
-                edges,
-                (frontier["doc_id"] == edges["doc_id"])
-                & (frontier["rel_inst"] == edges["parent_inst"]),
-            )
-            .select(frontier["doc_id"], "root_inst", F.col("child_inst").alias("rel_inst"))
-            .distinct()
-            .join(closure, ["doc_id", "root_inst", "rel_inst"], "left_anti")
+    import pandas as pd
+
+    def closure_fn(key, roots_pdf, edges_pdf):
+        adj: dict[int, list[int]] = {}
+        for p, c in zip(edges_pdf["parent_inst"], edges_pdf["child_inst"]):
+            adj.setdefault(int(p), []).append(int(c))
+        out_doc, out_root, out_rel = [], [], []
+        for doc_id, root in zip(roots_pdf["doc_id"], roots_pdf["root_inst"]):
+            root = int(root)
+            seen = {root}
+            stack = [root]
+            while stack:
+                cur = stack.pop()
+                out_doc.append(doc_id)
+                out_root.append(root)
+                out_rel.append(cur)
+                for nxt in adj.get(cur, ()):
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        stack.append(nxt)
+        return pd.DataFrame(
+            {"doc_id": out_doc, "root_inst": out_root, "rel_inst": out_rel}
         )
-        nxt = nxt.persist()
-        if nxt.limit(1).count() == 0:
-            nxt.unpersist()
-            break
-        closure = closure.unionByName(nxt)
-        frontier = nxt
-    return closure
+
+    # rename the edge-side key: both frames descend from the same instances
+    # lineage and Spark's ambiguous-self-join check rejects shared attributes
+    edges_r = edges.select(
+        F.col("doc_id").alias("edge_doc_id"), "parent_inst", "child_inst"
+    )
+    return (
+        roots.select("doc_id", "root_inst")
+        .groupBy("doc_id")
+        .cogroup(edges_r.groupBy("edge_doc_id"))
+        .applyInPandas(closure_fn, schema="doc_id string, root_inst long, rel_inst long")
+    )

@@ -62,24 +62,28 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
 
     Permutation ``i`` hashes shingle ``s`` as ``h(i || ':' || s)``; the
     signature element is the min over the document's shingle set.  Computed
-    as ``transform`` + ``array_min`` over the in-row shingle array — zero
-    shuffles; the document collapses to one signature row map-side.
+    in the canonical distributed form: explode shingles once, then one
+    ``groupBy(doc).agg(min(h_i) ...)`` — each shingle row is hashed
+    ``num_hashes`` times and partially aggregated map-side, so the shuffle
+    carries one signature row per document.  (The tempting in-row
+    ``transform``+``array_min`` form re-inlines the shingle construction
+    into all ``num_hashes`` expressions — a Catalyst common-subexpression
+    blowup measured ~100x slower.)
     """
-    sh = shingles_col(F.col(text_col), ngram)
-
-    def seeded(i):
-        # arity-1 lambda: a 2-arg lambda would receive the array index
-        return lambda s: token_hash_col(F.concat(F.lit(f"{i}:"), s))
-
-    sig = F.array(*[
-        F.array_min(F.transform(sh, seeded(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ])
-    return docs.select(
+    sh_rows = docs.select(
         F.col(id_col).alias("doc_id"),
-        sig.alias("sig"),
-        F.size(sh).alias("n_shingles"),
-    ).filter(F.col("n_shingles") > 0)
+        F.explode(shingles_col(F.col(text_col), ngram)).alias("s"),
+    )
+    aggs = [
+        F.min(token_hash_col(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh_rows.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n_shingles"))
+    return sigs.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+    )
 
 
 def minhash_near_duplicates(docs: DataFrame, *, id_col: str = "doc_id",
@@ -145,28 +149,34 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
 
     Bit ``b`` of the fingerprint is set iff the count of tokens whose hash
     has bit ``b`` set is >= half the token count (majority vote with +1/-1
-    weights, ties -> set).  Entirely in-row: the token-hash array folds into
-    ``bits`` conditional sums via ``aggregate`` — no shuffle, no UDF.
+    weights, ties -> set).  Distributed form: explode tokens, hash each once,
+    fold ``bits`` conditional sums in one partial-aggregated ``groupBy`` —
+    the shuffle carries one row per document.  (The in-row
+    ``aggregate``-per-bit form re-inlines the token hashing ``bits`` times —
+    a Catalyst common-subexpression blowup.)  Token-less documents come back
+    through a left join with fingerprint 0.
     """
-    toks = tokens_col(F.col(text_col))
-    hashes = F.transform(toks, token_hash_col)
-    def bit_sum(b):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-
-    bit_sums = [bit_sum(b) for b in range(bits)]
-    fingerprint = None
-    for b, s in enumerate(bit_sums):
-        term = F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return docs.select(
+    tok_rows = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(F.size(toks) > 0, fingerprint).otherwise(F.lit(0)).alias("simhash"),
+        F.explode(tokens_col(F.col(text_col))).alias("t"),
+    ).select("doc_id", token_hash_col(F.col("t")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok_rows.groupBy("doc_id").agg(*bit_aggs)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    fp = agg.select("doc_id", fingerprint.alias("simhash"))
+    return docs.select(F.col(id_col).alias("doc_id")).join(fp, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash")
     )
 
 

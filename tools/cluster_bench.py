@@ -1,0 +1,158 @@
+"""True multi-executor scaling bench: Spark standalone cluster on this host,
+N vs 4N executors (1 vs 4 workers, 8 cores each, separate JVMs, each worker
+taskset-pinned to its own core range), driver via spark-submit semantics
+(``master=spark://...``, engine shipped to executors via --py-files zip).
+
+This matches the north rule's wording — "run via spark-submit --py-files on
+a multi-executor cluster at two cluster sizes (N and 4N executors)" — and
+removes the shared-JVM ceiling of local[k] measurements: each executor has
+its own heap/GC and its own Python worker pool.
+
+Usage: python tools/cluster_bench.py [--docs 64000]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark
+
+SPARK_HOME = os.path.dirname(pyspark.__file__)
+SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
+MASTER_URL = "spark://127.0.0.1:7077"
+PY = sys.executable
+
+
+def build_engine_zip(path: str = "/tmp/engine.zip") -> str:
+    root = "/root/repo/osm2geojson_lite_spark"
+    with zipfile.ZipFile(path, "w") as z:
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, "/root/repo"))
+    return path
+
+
+def start_master(env):
+    return subprocess.Popen(
+        [SPARK_CLASS, "org.apache.spark.deploy.master.Master",
+         "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8090"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+
+def start_worker(i: int, env):
+    cores = f"{8 * i}-{8 * i + 7}"
+    return subprocess.Popen(
+        ["taskset", "-c", cores, SPARK_CLASS,
+         "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+         "-c", "8", "-m", "14g", "-p", str(50100 + i),
+         "--webui-port", str(8190 + i)],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+
+def run_job(n_executors: int, n_docs: int, py_files: str) -> dict:
+    """Run the measurement job as a driver against the standalone master."""
+    code = f"""
+import hashlib, json, time
+from pyspark.sql import SparkSession, functions as F
+import sys
+sys.path.insert(0, "/root/repo")
+from osm2geojson_lite_spark import Options, convert
+from osm2geojson_lite_spark.sources.synth import generate_documents
+
+spark = (SparkSession.builder.master("{MASTER_URL}")
+    .appName("scale-{n_executors}x")
+    .config("spark.cores.max", "{8 * n_executors}")
+    .config("spark.executor.cores", "8")
+    .config("spark.executor.memory", "12g")
+    .config("spark.submit.pyFiles", "{py_files}")
+    .config("spark.sql.shuffle.partitions", "{8 * n_executors}")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+convert(generate_documents(spark, 16, partitions=8), Options(complete_feature=True)).write.format("noop").mode("overwrite").save()
+docs = generate_documents(spark, {n_docs}, partitions={16 * n_executors}).persist()
+docs.count()
+wall = h = None
+for _ in range(2):
+    t0 = time.perf_counter()
+    out = convert(docs, Options(complete_feature=True)).select("doc_id", F.md5("geojson").alias("h"))
+    rows = sorted((r["doc_id"], r["h"]) for r in out.collect())
+    wall = time.perf_counter() - t0
+    h = hashlib.md5(json.dumps(rows).encode()).hexdigest()
+print("RESULT " + json.dumps({{"executors": {n_executors}, "wall_s": round(wall, 2),
+    "docs_per_sec": round({n_docs} / wall, 2), "convert_md5": h}}))
+spark.stop()
+"""
+    env = dict(os.environ, PYSPARK_PYTHON=PY, PYSPARK_DRIVER_PYTHON=PY,
+               SPARK_HOME=SPARK_HOME)
+    proc = subprocess.run([PY, "-c", code], capture_output=True, text=True,
+                          timeout=3000, env=env, cwd="/root/repo")
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"job failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
+
+
+def main() -> None:
+    n_docs = 64000
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a == "--docs":
+            n_docs = int(args[i + 1])
+
+    env = dict(os.environ, SPARK_HOME=SPARK_HOME,
+               SPARK_MASTER_OPTS="-Dspark.deploy.spreadOut=false",
+               SPARK_LOG_DIR="/tmp/spark-logs", SPARK_PID_DIR="/tmp/spark-pids",
+               PYSPARK_PYTHON=PY)
+    os.makedirs("/tmp/spark-logs", exist_ok=True)
+    py_files = build_engine_zip()
+
+    results = {}
+    procs = [start_master(env)]
+    time.sleep(6)
+    try:
+        for n_exec in (1, 4):
+            workers = [start_worker(i, env) for i in range(n_exec)]
+            procs += workers
+            time.sleep(8)
+            results[n_exec] = run_job(n_exec, n_docs, py_files)
+            print(f"{n_exec} executors: {results[n_exec]}", flush=True)
+            for w in workers:
+                w.terminate()
+            time.sleep(3)
+    finally:
+        for p in procs:
+            try:
+                p.terminate()
+            except Exception:
+                pass
+
+    r1, r4 = results[1], results[4]
+    eff = r4["docs_per_sec"] / (4 * r1["docs_per_sec"])
+    identical = r1["convert_md5"] == r4["convert_md5"]
+    print(f"scaling efficiency N->4N executors: {eff:.3f}; byte-identical: {identical}")
+    with open("/root/repo/cluster_bench_result.json", "w") as f:
+        json.dump({"n_docs": n_docs, "one_executor": r1, "four_executors": r4,
+                   "efficiency": round(eff, 3), "byte_identical": identical}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
