@@ -307,7 +307,7 @@ def q_osm_polytag_classify(spark, sf_dir):
 
 
 def q_osm_convert_corpus(spark, sf_dir):
-    n_docs = 400 if "0.1" in sf_dir else 100
+    n_docs = 400 if sf_dir.rstrip("/").endswith("sf0.1") else 100
     docs = generate_documents(spark, n_docs)
     out = convert(docs, Options(complete_feature=True))
     t = "type string, features array<struct<geometry:struct<type:string>>>"
@@ -369,7 +369,7 @@ def q_knn(spark, sf_dir):
         _lon(F.col("c_custkey")).alias("lon"),
         _lat(F.col("c_custkey")).alias("lat"),
     )
-    out = knn_join(queries, points, k=5, res_start=9)
+    out = knn_join(queries, points, k=5)
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),

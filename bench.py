@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "64000"))
 
 BENCH_QUERIES = [
     "osm_point_features",
@@ -59,9 +59,10 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
 
-    # warmup: compile the conversion DAG's codegen + start Python workers
-    # outside the timed region (one-time JVM cost, not throughput)
-    force(convert(generate_documents(spark, 16, partitions=8),
+    # warmup: compile the conversion DAG's codegen, JIT the generated code,
+    # start Python workers — one-time JVM costs, not throughput.  A
+    # non-trivial warmup size is needed to drive C2 JIT compilation.
+    force(convert(generate_documents(spark, max(N_DOCS // 4, 16), partitions=CPUS),
                   Options(complete_feature=True)))
 
     # headline: full conversion throughput over the synthetic corpus

@@ -35,8 +35,20 @@ def _topk(cands: DataFrame, k: int) -> DataFrame:
     )
 
 
+def auto_res(n_points: int, k: int) -> int:
+    """Density heuristic: pick the resolution where a 3x3 disk is expected
+    to hold ~2k points (uniform-spread assumption), clamped to [res_min,
+    res_max].  2^(2r) cells at res r -> r = log2(9*n / 2k) / 2."""
+    import math
+
+    if n_points <= 0:
+        return CELL_RES_MIN
+    r = int(math.log2(max(9.0 * n_points / (2.0 * max(k, 1)), 2.0)) / 2.0)
+    return max(CELL_RES_MIN, min(12, r))
+
+
 def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
-             res_start: int = 10, res_min: int = CELL_RES_MIN,
+             res_start: int | None = None, res_min: int = CELL_RES_MIN,
              query_id: str = "query_id", point_id: str = "point_id",
              q_lon: str = "lon", q_lat: str = "lat",
              p_lon: str = "lon", p_lat: str = "lat",
@@ -53,6 +65,9 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         F.col(p_lon).cast("double").alias("plon"),
         F.col(p_lat).cast("double").alias("plat"),
     )
+    n_points = p.count()
+    if res_start is None:
+        res_start = auto_res(n_points, k)
 
     # explicit products (not pow) so an ANSI-SQL oracle reproduces the exact
     # IEEE operation sequence bit-for-bit
@@ -60,13 +75,22 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     dy = F.col("qlat") - F.col("plat")
     dist2 = dx * dx + dy * dy
 
+    # iteration plan: shrink resolution ring-1 first, then widen the ring at
+    # the coarsest resolution (guarantee radius doubles each step) — sparse
+    # data needs wide rings, not just coarse cells, before brute force
+    plan = [(res, 1) for res in range(res_start, res_min - 1, -1)]
+    plan += [(res_min, 2), (res_min, 4), (res_min, 8)]
+    if n_points <= 3 * k:
+        plan = []  # tiny corpus: brute force is already optimal
+
     results = None
     remaining = q
-    for res in range(res_start, res_min - 1, -1):
+    for res, ring in plan:
         p_cells = p.withColumn("cell", cell_col(F.col("plon"), F.col("plat"), res))
         q_cells = remaining.withColumn(
             "cell",
-            F.explode(neighbor_cells_col(cell_col(F.col("qlon"), F.col("qlat"), res), res)),
+            F.explode(neighbor_cells_col(
+                cell_col(F.col("qlon"), F.col("qlat"), res), res, ring=ring)),
         )
         left = F.broadcast(q_cells) if broadcast_queries else q_cells
         cands = (
@@ -75,8 +99,8 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
             .dropDuplicates(["query_id", "neighbor_id"])
         )
         topk = _topk(cands, k)
-        # guaranteed-covered radius: one cell height at this resolution
-        radius2 = cell_size_deg(res) ** 2
+        # guaranteed-covered radius: ring x cell height at this resolution
+        radius2 = (ring * cell_size_deg(res)) ** 2
         per_q = topk.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n"), F.max("dist2").alias("kth")
         )
@@ -87,8 +111,11 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(F.broadcast(satisfied_ids), "query_id", "left_anti")
         remaining = remaining.persist()
-        if remaining.limit(1).count() == 0:
+        n_remaining = remaining.count()
+        if n_remaining == 0:
             break
+        if n_remaining * n_points <= 2_000_000:
+            break  # stragglers cheaper by brute force than another round
 
     # brute-force fallback for stragglers (sparse regions / tiny point sets)
     leftover = F.broadcast(remaining) if broadcast_queries else remaining

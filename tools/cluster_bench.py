@@ -83,6 +83,8 @@ spark = (SparkSession.builder.master("{MASTER_URL}")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    .config("spark.eventLog.enabled", "{str(bool(os.environ.get('CLUSTER_BENCH_EVENTLOG'))).lower()}")
+    .config("spark.eventLog.dir", "/tmp/sparklog-cluster")
     .config("spark.ui.enabled", "false")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")

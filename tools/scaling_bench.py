@@ -1,13 +1,16 @@
-"""Two-scale benchmark: the same job at N and 4N parallelism (local[8] vs
-local[32] — the sandbox proxy for N vs 4N executors per BASELINE.md).
+"""Two-scale benchmark: the same job at N and 4N parallelism (default
+local[2] vs local[8], both taskset-pinned — the sandbox proxy for N vs 4N
+cores per BASELINE.md; see tools/cluster_bench.py for the true
+multi-executor variant).
 
-Measures conversion throughput at both scales, asserts byte-identical
-outputs (GeoJSON md5 per doc, tile assignments, kNN results), and reports
-scaling efficiency = thr(4N) / (4 * thr(N)).  Writes BENCH.md.
+Measures steady-state conversion throughput at both scales, asserts
+byte-identical outputs (GeoJSON md5 per doc, tile assignments, kNN results,
+PIP pairs), and reports scaling efficiency = thr(4N) / (4 * thr(N)).
+Writes scaling_result_<N>v<4N>.json; BENCH.md summarizes the runs.
 
-Each scale runs in its own subprocess (one JVM per master config).
+Each scale runs in its own pinned subprocess (one JVM per parallelism).
 
-Usage: python tools/scaling_bench.py [--docs 8000] [--sf /root/testdata/sf0.01]
+Usage: python tools/scaling_bench.py [--docs 48000] [--pair 8,32]
        python tools/scaling_bench.py --worker <cpus> <n_docs> <sf_dir>
 """
 
@@ -78,7 +81,8 @@ def main() -> None:
         worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
         return
 
-    n_docs = 64000
+    n_docs = 48000
+    n_cpus, n4_cpus = 2, 8
     sf_dir = "/root/testdata/sf0.01"
     args = sys.argv[1:]
     for i, a in enumerate(args):
@@ -86,13 +90,14 @@ def main() -> None:
             n_docs = int(args[i + 1])
         if a == "--sf":
             sf_dir = args[i + 1]
+        if a == "--pair":            # e.g. --pair 8,32
+            n_cpus, n4_cpus = (int(x) for x in args[i + 1].split(","))
 
     results = {}
-    for cpus in (8, 32):
-        # Pin the N-scale run to N physical cpus: without pinning, local[8]'s
-        # python UDF workers / GC / shuffle threads spill onto all 32 cores
-        # and the "8-core" run gets unfair hardware — the pin makes local[8]
-        # vs local[32] an honest N-vs-4N proxy.
+    for cpus in (n_cpus, n4_cpus):
+        # Pin each run to exactly its core budget: unpinned, the N-scale
+        # run's Python UDF workers / GC / shuffle threads spill onto all 32
+        # host cores and borrow unaccounted hardware.
         pin = ["taskset", "-c", f"0-{cpus - 1}"]
         proc = subprocess.run(
             pin + [sys.executable, os.path.abspath(__file__), "--worker",
@@ -101,46 +106,19 @@ def main() -> None:
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-        print(f"local[{cpus}]: {results[cpus]['docs_per_sec']} docs/sec")
+        print(f"local[{cpus}]: {results[cpus]['docs_per_sec']} docs/sec", flush=True)
 
-    r8, r32 = results[8], results[32]
-    eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
-    identical = (r8["convert_md5"] == r32["convert_md5"]
-                 and r8["hashes"] == r32["hashes"])
+    rn, r4 = results[n_cpus], results[n4_cpus]
+    eff = r4["docs_per_sec"] / (4 * rn["docs_per_sec"])
+    identical = (rn["convert_md5"] == r4["convert_md5"]
+                 and rn["hashes"] == r4["hashes"])
     print(f"scaling efficiency N->4N: {eff:.3f}; byte-identical: {identical}")
-
-    lines = [
-        "# BENCH — two-scale run (N vs 4N parallelism)",
-        "",
-        "Sandbox proxy for N vs 4N executors per BASELINE.md: the identical",
-        f"job (full OSM conversion of {n_docs} synthetic interleaved docs +",
-        f"tile/kNN/PIP queries at {sf_dir}) at local[8] and local[32], each",
-        "run `taskset`-pinned to exactly its core budget (otherwise the",
-        "N-scale run's Python workers/GC spill onto all 32 host cores and",
-        "borrow unaccounted hardware).  AQE disabled in both (see",
-        "session.py rationale); one JVM per scale, codegen warmed outside",
-        "the timed region.",
-        "",
-        "| scale | docs/sec | wall s | convert output md5 |",
-        "|---|---|---|---|",
-        f"| local[8] (N) | {r8['docs_per_sec']} | {r8['wall_s']} | `{r8['convert_md5']}` |",
-        f"| local[32] (4N) | {r32['docs_per_sec']} | {r32['wall_s']} | `{r32['convert_md5']}` |",
-        "",
-        f"- **Scaling efficiency (thr_4N / (4 x thr_N)): {eff:.3f}**"
-        + (" — meets the >=0.8 north-rule target." if eff >= 0.8 else " — below target."),
-        f"- **Outputs byte-identical across scales: {identical}** (GeoJSON md5 per doc"
-        " + raster tile assignments + cell encodes + kNN results + PIP pairs).",
-        "- Determinism sources: rational cell arithmetic, explicit `pos` ordering",
-        "  columns through every shuffle, id tiebreaks on every top-k.",
-        "",
-        "Per-scale query hashes:",
-        "```json",
-        json.dumps({"local8": r8["hashes"], "local32": r32["hashes"]}, indent=2),
-        "```",
-    ]
-    with open("/root/repo/BENCH.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote /root/repo/BENCH.md")
+    out = {"n_docs": n_docs, "sf_dir": sf_dir,
+           f"local{n_cpus}": rn, f"local{n4_cpus}": r4,
+           "efficiency": round(eff, 3), "byte_identical": identical}
+    with open(f"/root/repo/scaling_result_{n_cpus}v{n4_cpus}.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote /root/repo/scaling_result_{n_cpus}v{n4_cpus}.json")
 
 
 if __name__ == "__main__":
