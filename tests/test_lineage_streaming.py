@@ -91,3 +91,61 @@ def test_span_sequence_invariant(spark):
     assert before == after
     media_docs = [d for d, spans in after.items() if any(k == "media" for k, _, _ in spans)]
     assert media_docs  # corpus actually interleaves media spans
+
+
+def test_streaming_tile_stats_window_watermark(spark, tmp_path):
+    """Event-time tumbling windows + watermark over the cell index: counts
+    match a batch groupBy of the same input; late rows beyond the watermark
+    are dropped once the window is finalized."""
+    import datetime
+
+    from osm2geojson_lite_spark.streaming.tile_stats import (
+        EVENT_SCHEMA,
+        stream_tile_stats,
+    )
+    from osm2geojson_lite_spark.spatial import cell_col
+
+    inp = str(tmp_path / "ev_in")
+    outp = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i % 40), -10.0 + i * 0.5, 40.0 + i * 0.25)
+        for i in range(80)
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(inp)
+
+    q = stream_tile_stats(spark, inp, outp, ckpt, res=7, window="10 minutes")
+    q.awaitTermination(120)
+    # the watermark finalizes windows on the NEXT batch: drop a later event
+    # (2h ahead) and run again — earlier windows pass the watermark and emit
+    late = [(999, base + datetime.timedelta(hours=2), 0.0, 0.0)]
+    spark.createDataFrame(late, EVENT_SCHEMA).write.mode("append").parquet(inp)
+    q2 = stream_tile_stats(spark, inp, outp, ckpt, res=7, window="10 minutes")
+    q2.awaitTermination(120)
+    got = spark.read.parquet(outp)
+
+    batch = (
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+        .withColumn("cell", cell_col(F.col("lon"), F.col("lat"), 7))
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "cell")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "cell", "n_events")
+    )
+    got_set = {(r["window_start"], r["cell"], r["n_events"]) for r in got.collect()}
+    want_set = {(r["window_start"], r["cell"], r["n_events"]) for r in batch.collect()}
+    # append mode emits only watermark-finalized windows; all finalized
+    # windows must match the batch aggregation exactly
+    assert got_set <= want_set and len(got_set) > 0
+
+
+def test_convert_salted_identical(spark):
+    """Explicit skew salting (J1 node-ref join) must not change output."""
+    from osm2geojson_lite_spark.sources.synth import generate_documents
+
+    docs = generate_documents(spark, 20).persist()
+    base = {r["doc_id"]: r["geojson"]
+            for r in convert(docs, Options(complete_feature=True)).collect()}
+    salted = {r["doc_id"]: r["geojson"]
+              for r in convert(docs, Options(complete_feature=True, salt=4)).collect()}
+    assert base == salted
