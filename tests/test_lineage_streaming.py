@@ -149,3 +149,69 @@ def test_convert_salted_identical(spark):
     salted = {r["doc_id"]: r["geojson"]
               for r in convert(docs, Options(complete_feature=True, salt=4)).collect()}
     assert base == salted
+
+
+def test_stateful_cell_counters_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-cell running counters survive between
+    micro-batches (state carried by the checkpointed state store)."""
+    import datetime
+
+    from osm2geojson_lite_spark.streaming.stateful import (
+        EVENT_SCHEMA as SEV,
+        stream_cell_counters,
+    )
+
+    inp = str(tmp_path / "st_in")
+    outp = str(tmp_path / "st_out")
+    ckpt = str(tmp_path / "st_ckpt")
+    base = datetime.datetime(2024, 1, 1)
+    batch1 = [(i, base, 10.0, 50.0) for i in range(7)]       # one cell
+    spark.createDataFrame(batch1, SEV).write.parquet(inp)
+    q = stream_cell_counters(spark, inp, outp, ckpt, res=7)
+    q.awaitTermination(120)
+
+    batch2 = [(100 + i, base, 10.0, 50.0) for i in range(5)] + \
+             [(200, base, -120.0, -30.0)]                     # +1 new cell
+    spark.createDataFrame(batch2, SEV).write.mode("append").parquet(inp)
+    q2 = stream_cell_counters(spark, inp, outp, ckpt, res=7)
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(outp).collect()
+    by_cell = {}
+    for r in rows:  # last update per cell wins (append sink keeps history)
+        by_cell.setdefault(r["cell"], []).append(r["n_events"])
+    counts = {c: max(v) for c, v in by_cell.items()}
+    assert sorted(counts.values()) == [1, 12]  # 7+5 accumulated, 1 new
+
+
+def test_table_layer_parquet_fallback(spark, tmp_path):
+    """sources.tables: parquet fallback writes cell-partitioned features and
+    bucket-partitioned geojson; no Iceberg catalog in this sandbox."""
+    from osm2geojson_lite_spark.sources.tables import (
+        has_iceberg,
+        read_documents,
+        write_features,
+        write_geojson,
+    )
+    from osm2geojson_lite_spark.sources.synth import generate_documents
+
+    assert has_iceberg(spark) is False
+    docs = generate_documents(spark, 6)
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    assert read_documents(spark, dpath).count() == 6
+
+    feats = spark.createDataFrame(
+        [(str(i), float(i), float(i % 50)) for i in range(40)],
+        "feature_id string, lon double, lat double",
+    )
+    fpath = str(tmp_path / "features")
+    write_features(feats, fpath)
+    back = spark.read.parquet(fpath)
+    assert back.count() == 40 and "cell_r7" in back.columns
+
+    out = convert(docs, Options(complete_feature=True))
+    gpath = str(tmp_path / "geojson")
+    write_geojson(out, gpath, n_buckets=4)
+    gj = spark.read.parquet(gpath)
+    assert gj.count() == 6 and "bucket" in gj.columns
