@@ -65,12 +65,15 @@ def main() -> None:
     force(convert(generate_documents(spark, max(N_DOCS // 4, 16), partitions=CPUS),
                   Options(complete_feature=True)))
 
-    # headline: full conversion throughput over the synthetic corpus
+    # headline: full conversion throughput over the synthetic corpus.
+    # Two executions, second reported — the first full-size run still pays
+    # C2 JIT compilation (same steady-state methodology as BENCH.md).
     docs = generate_documents(spark, N_DOCS, partitions=CPUS * 2).persist()
     docs.count()  # materialize input outside the timed region
-    t0 = time.perf_counter()
-    force(convert(docs, Options(complete_feature=True)))
-    convert_s = time.perf_counter() - t0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(convert(docs, Options(complete_feature=True)))
+        convert_s = time.perf_counter() - t0
     timings["osm_convert"] = round(convert_s, 3)
     docs_per_sec = N_DOCS / convert_s
 
