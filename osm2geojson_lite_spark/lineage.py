@@ -62,17 +62,29 @@ def bucket_col(key, n_buckets: int):
 def convert_with_lineage(docs: DataFrame, output_path: str, lineage_path: str, *,
                          run_id: str | None = None, n_buckets: int = 16,
                          buckets_per_job: int = 4, opts=None,
-                         fail_after_jobs: int | None = None) -> str:
+                         fail_after_jobs: int | None = None,
+                         fail_mid_commit: int | None = None) -> str:
     """Run the conversion pipeline checkpointed per bucket group.
 
-    Each job converts ``buckets_per_job`` buckets and appends results to
-    ``output_path`` (parquet partitioned by ``bucket``), then marks those
-    buckets done in the lineage log.  Re-invoking with the same ``run_id``
-    anti-joins completed buckets and processes only the remainder.
+    Each job converts ``buckets_per_job`` buckets and *overwrites* exactly
+    those bucket partitions of ``output_path`` (parquet partitioned by
+    ``bucket``, ``partitionOverwriteMode=dynamic``), then marks them done in
+    the lineage log.  Overwrite-per-partition makes the write idempotent: a
+    crash *between* the data write and ``mark_done`` re-runs the job on
+    resume and replaces the same partitions instead of appending duplicates.
+    Re-invoking with the same ``run_id`` anti-joins completed buckets and
+    processes only the remainder.
 
-    ``fail_after_jobs`` injects a crash after N jobs (kill/resume tests).
+    Per-bucket row counts ride on the write via ``df.observe`` — no second
+    scan of the sink (at scale that would be a full re-read per checkpoint).
+
+    ``fail_after_jobs`` injects a crash after N jobs (kill/resume tests);
+    ``fail_mid_commit`` injects one *between* job N's data write and its
+    ``mark_done`` — the window the dynamic-overwrite write makes safe.
     Returns the run_id.
     """
+    from pyspark.sql import Observation
+
     from .operators.convert import Options, convert
 
     spark = docs.sparkSession
@@ -83,6 +95,7 @@ def convert_with_lineage(docs: DataFrame, output_path: str, lineage_path: str, *
     done = set(log.completed_keys(spark, run_id))
     all_buckets = [b for b in range(n_buckets) if str(b) not in done]
 
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bucketed = docs.withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
     jobs = [
         all_buckets[i: i + buckets_per_job]
@@ -96,17 +109,24 @@ def convert_with_lineage(docs: DataFrame, output_path: str, lineage_path: str, *
         result = convert(subset.drop("bucket"), opts).join(
             bucketed.select("doc_id", "bucket"), "doc_id"
         )
-        # count via write metrics: write then read back count per bucket
-        result.write.mode("append").partitionBy("bucket").parquet(output_path)
+        obs = Observation(f"lineage-{run_id}-{ji}")
+        observed = result.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+                for b in group
+            ],
+        )
+        observed.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+        if fail_mid_commit is not None and ji >= fail_mid_commit:
+            raise RuntimeError(
+                f"injected failure after write, before mark_done of job {ji} "
+                f"(run {run_id})"
+            )
         wall_ms = int((time.time() - t0) * 1000)
-        counts = {
-            r["bucket"]: r["n"]
-            for r in spark.read.parquet(output_path)
-            .filter(F.col("bucket").isin(group))
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        counts = obs.get
         log.mark_done(spark, run_id,
-                      [(str(b), int(counts.get(b, 0))) for b in group], wall_ms)
+                      [(str(b), int(counts.get(f"b{b}") or 0)) for b in group], wall_ms)
     return run_id
 
 

@@ -66,6 +66,17 @@ _INF = float("inf")
 _NINF = float("-inf")
 
 
+def _json_str(s) -> str:
+    """Quoted JSON string for a feature id.  Composite ids are ``type/num``
+    in practice, but ids flow in from untrusted payloads — escape whenever a
+    character would break the hand-assembled JSON envelope."""
+    if isinstance(s, str) and '"' not in s and "\\" not in s and not any(
+        ord(c) < 0x20 for c in s
+    ):
+        return f'"{s}"'
+    return json.dumps(s, ensure_ascii=False)
+
+
 def _feature_row(doc_id, out_pos, sub_seq, feature: dict) -> dict:
     geom = feature.get("geometry")
     return {
@@ -118,7 +129,7 @@ def node_features_kernel(batches) -> Iterator:
             out["feature_id"].append(comp)
             out["geom_type"].append("Point")
             out["feature_json"].append(
-                f'{{"type":"Feature","id":"{comp}","properties":{props},'
+                f'{{"type":"Feature","id":{_json_str(comp)},"properties":{props},'
                 f'"geometry":{geom}}}'
             )
             out["geometry_json"].append(geom)
@@ -185,7 +196,7 @@ def way_features_kernel(batches) -> Iterator:
             out["feature_id"].append(comp)
             out["geom_type"].append(geom_type)
             out["feature_json"].append(
-                f'{{"type":"Feature","id":"{comp}","properties":{props},'
+                f'{{"type":"Feature","id":{_json_str(comp)},"properties":{props},'
                 f'"geometry":{geom}}}'
             )
             out["geometry_json"].append(geom)

@@ -37,6 +37,11 @@ class Options:
     render_tagged: bool = False
     exclude_way: bool = True
     salt: int | None = None  # explicit skew salting for the node-ref join
+    # Materialize each multi-consumer subtree (live+refcounts, way coords,
+    # resolved members) exactly once instead of recomputing it per feature
+    # branch.  At scale recomputing a TB-sized join 2-3x is strictly worse
+    # than one materialization; False restores the recompute-from-parse plan.
+    materialize_intermediates: bool = True
 
 
 def assemble_payload(docs: DataFrame) -> DataFrame:
@@ -77,11 +82,27 @@ def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
     instances.count()
 
     graph = resolve_graph(instances, salt=opts.salt)
-    # NOTE: only `instances` is cached.  Persisting the shared subtrees
-    # (live/way_coords/visible) was measured slower end-to-end: cache
-    # boundaries fix partition counts and defeat AQE coalescing, multiplying
-    # task-scheduling overhead; recompute from the cached instances wins.
     live = graph["live"]
+    way_coords = graph["way_coords"]
+    members = graph["members"]
+    if opts.materialize_intermediates:
+        # Persist every subtree with >1 consumer so its shuffle executes
+        # exactly once: `live` (probe-count agg + join; read by all three
+        # feature branches), `way_coords` (the J1 explode+join+collect — the
+        # heaviest shuffle; read by way features AND the relation kernel) and
+        # `members` (member-resolution join; read by the relation kernel AND
+        # the closure edges).  Eager counts populate each cache before the
+        # concurrent downstream stages race on it (a lazily-populated persist
+        # makes every first-wave stage re-run the Python parse, measured
+        # ~10x parse core-time).  Counts run over the already-cached
+        # `instances`, so each is one cheap columnar pass.
+        live = live.persist()
+        way_coords = way_coords.persist()
+        members = members.persist()
+        _LIVE_CACHES.extend([live, way_coords, members])
+        live.count()
+        way_coords.count()
+        members.count()
     visible = visibility_filter(
         live, render_tagged=opts.render_tagged, exclude_way=opts.exclude_way
     )
@@ -94,7 +115,6 @@ def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
     )
 
     # --- way features ------------------------------------------------------
-    way_coords = graph["way_coords"]
     way_feats = (
         visible.filter(F.col("etype") == "way")
         .select("doc_id", F.col("inst").alias("owner"), "out_pos", "composite",
@@ -125,7 +145,7 @@ def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
     closure = relation_closure(roots, graph["edges"])
 
     kernel_in = (
-        closure.join(graph["members"], ["doc_id", "rel_inst"])
+        closure.join(members, ["doc_id", "rel_inst"])
         .withColumnRenamed("p", "m_p")
         .withColumnRenamed("mtype", "m_mtype")
         .join(

@@ -25,17 +25,23 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text (order-free set).
 
     Built with higher-order functions only: tokenize -> sliding window via
-    ``transform(sequence(...))`` -> ``array_distinct``.
+    ``transform(sequence(...))`` -> ``array_distinct``.  Documents with
+    fewer than ``n`` tokens (incl. empty text) yield an *empty* shingle set:
+    ``sequence(0, size-n)`` with ``size-n < 0`` would step backwards to
+    ``[0,-1]`` and ``element_at`` would throw out-of-bounds under ANSI mode,
+    so the window is gated on ``size(toks) >= n``.
     """
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id",
@@ -180,15 +186,39 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+ALL_PAIRS_MAX_ROWS = 10_000
+
+
+def _guard_all_pairs(df: DataFrame, allow_all_pairs: bool, what: str) -> None:
+    """Refuse to go silently quadratic: the unblocked all-pairs path is an
+    exact *baseline* for bounded inputs, not a scale path.  Above
+    ``ALL_PAIRS_MAX_ROWS`` rows the caller must opt in explicitly (or pass a
+    ``block_col``/LSH-bucketed variant, which is the 100 TB shape)."""
+    if allow_all_pairs:
+        return
+    n = df.limit(ALL_PAIRS_MAX_ROWS + 1).count()
+    if n > ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{what}: unblocked all-pairs over >{ALL_PAIRS_MAX_ROWS} rows is "
+            f"quadratic; pass block_col= (or use the LSH variant), or opt in "
+            f"with allow_all_pairs=True"
+        )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", block_col: str | None = None,
-                        ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+                        ngram: int = 3, threshold: float = 0.5,
+                        allow_all_pairs: bool = False) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold, optionally blocked.
 
     Without ``block_col`` this is the O(n^2) exact baseline (use on bounded
     inputs / verification sets); with it, pairs form only within a block —
     the classic blocking pattern that keeps the join linear in block sizes.
+    Unblocked inputs above ``ALL_PAIRS_MAX_ROWS`` are refused unless
+    ``allow_all_pairs=True``.
     """
+    if block_col is None:
+        _guard_all_pairs(docs, allow_all_pairs, "ngram_jaccard_pairs")
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         *( [F.col(block_col).alias("block")] if block_col else [] ),

@@ -115,12 +115,20 @@ def sign_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
 def embedding_near_duplicates(vectors: DataFrame, *, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               block_col: str | None = None,
-                              threshold: float = 0.95) -> DataFrame:
+                              threshold: float = 0.95,
+                              allow_all_pairs: bool = False) -> DataFrame:
     """Cosine >= threshold pairs (id_a, id_b, cos), blocked when asked.
 
     Cosine is rounded to 9 decimals *before* the threshold compare so the
-    pair set is reproducible across engines and partitionings.
+    pair set is reproducible across engines and partitionings.  Unblocked
+    inputs above ``ALL_PAIRS_MAX_ROWS`` are refused unless
+    ``allow_all_pairs=True`` — the scale path is blocking by label or a
+    sign-LSH bucket column (:func:`sign_code_col`).
     """
+    if block_col is None:
+        from .dedup import _guard_all_pairs
+
+        _guard_all_pairs(vectors, allow_all_pairs, "embedding_near_duplicates")
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),

@@ -48,5 +48,24 @@ def get_spark(app_name: str = "osm2geojson-lite-spark", *, cpus: int | None = No
                 "-XX:+UseParallelGC -Djava.io.tmpdir=/tmp")
     )
     spark = builder.getOrCreate()
+    # getOrCreate() silently ignores builder configs when a session already
+    # exists in this process.  The SQL confs that matter for plan shape are
+    # runtime-mutable — enforce them on whatever session came back so a bench
+    # never runs with a stale AQE/shuffle-partition setting (the 4.7x effect
+    # documented above).  Immutable mismatches (master/core count) can only
+    # be surfaced, not fixed.
+    spark.conf.set("spark.sql.adaptive.enabled", "true" if adaptive else "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    actual_master = spark.sparkContext.master
+    if actual_master != f"local[{cpus}]":
+        import warnings
+
+        warnings.warn(
+            f"get_spark requested local[{cpus}] but reused an existing session "
+            f"on {actual_master}; core budget differs (stop() it first for a "
+            f"pinned run)",
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -25,6 +25,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .cells import CELL_RES_MIN, cell_col, cell_size_deg, neighbor_cells_col
 
+# the final round's persisted `remaining` frame is still referenced by the
+# lazily-returned brute-force branch, so it cannot be unpersisted before the
+# caller consumes the result; the next knn_join() call drops it instead
+# (same pattern as operators.convert._LIVE_CACHES).
+_LIVE_CACHES: list = []
+
 
 def _topk(cands: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
@@ -65,8 +71,12 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         F.col(p_lon).cast("double").alias("plon"),
         F.col(p_lat).cast("double").alias("plat"),
     )
-    n_points = p.count()
+    # one upfront count only when the caller did not pin the start resolution
+    # (auto_res and the tiny-corpus shortcut need |points|); with res_start
+    # given the pipeline issues no action until the per-round remaining check
+    n_points = None
     if res_start is None:
+        n_points = p.count()
         res_start = auto_res(n_points, k)
 
     # explicit products (not pow) so an ANSI-SQL oracle reproduces the exact
@@ -80,11 +90,18 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     # data needs wide rings, not just coarse cells, before brute force
     plan = [(res, 1) for res in range(res_start, res_min - 1, -1)]
     plan += [(res_min, 2), (res_min, 4), (res_min, 8)]
-    if n_points <= 3 * k:
+    if n_points is not None and n_points <= 3 * k:
         plan = []  # tiny corpus: brute force is already optimal
+
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
 
     results = None
     remaining = q
+    prev_cached = None
     for res, ring in plan:
         p_cells = p.withColumn("cell", cell_col(F.col("plon"), F.col("plat"), res))
         q_cells = remaining.withColumn(
@@ -110,14 +127,23 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
         done = topk.join(F.broadcast(satisfied_ids), "query_id", "left_semi")
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(F.broadcast(satisfied_ids), "query_id", "left_anti")
+        # persist truncates the per-round anti-join chain; the previous
+        # round's cache is superseded once this one is materialized
         remaining = remaining.persist()
         n_remaining = remaining.count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = remaining
         if n_remaining == 0:
             break
-        if n_remaining * n_points <= 2_000_000:
+        if n_points is not None and n_remaining * n_points <= 2_000_000:
             break  # stragglers cheaper by brute force than another round
+        if n_points is None and n_remaining <= 1_000:
+            break  # few stragglers: brute force them without another round
 
     # brute-force fallback for stragglers (sparse regions / tiny point sets)
+    if prev_cached is not None:
+        _LIVE_CACHES.append(prev_cached)
     leftover = F.broadcast(remaining) if broadcast_queries else remaining
     brute = _topk(
         leftover.crossJoin(p).select("query_id", "neighbor_id", dist2.alias("dist2")), k
