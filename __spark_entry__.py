@@ -6,10 +6,12 @@ full conversion pipeline -> GeoJSON per document.
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
 SURVEY.md §2 (+ §2.8 extensions and the training-pipeline ops).  Every
 hash/coordinate derivation is md5- or rational-arithmetic-based so the
-DuckDB oracle reproduces values bit-for-bit; queries without a SQL-expressible
-oracle (full GeoJSON corpus, approximate ANN) are listed without one and get
-the driver's rows-only check, backed instead by the golden-fixture pytest
-suite.
+DuckDB oracle reproduces values bit-for-bit.  All 27 queries carry an
+oracle: ``osm_convert_corpus`` pins against a committed golden
+``(doc_id, n_features, geojson_md5)`` table for the seed-42 corpus
+(tests/golden/, regenerated only via tools/gen_convert_golden.py), and
+``ann_lsh`` is fully SQL-expressible — the sign-bucket code, Hamming-1
+probes and exact candidate re-rank are replayed in DuckDB.
 """
 
 from __future__ import annotations
@@ -707,7 +709,68 @@ def oracle_sql() -> dict[str, str]:
         "from documents where doc_id < 50"
     )
 
+    # sign-LSH replay (q_ann_lsh, code_bits=12): bucket code over the first
+    # 12 dims, Hamming-1 probe set, exact re-rank of bucket candidates
+    def _sign_code_sql(vec: str) -> str:
+        return "(" + " + ".join(
+            f"(case when {vec}[{b + 1}]::double >= 0 then {1 << b} else 0 end)"
+            for b in range(12)
+        ) + ")"
+
+    lsh_probes = "[code" + "".join(f", xor(code, {1 << b})" for b in range(12)) + "]"
+    cos_qv = (
+        "list_sum(list_transform(generate_series(1, len(p.qv)), "
+        "i -> p.qv[i]::double * c.cv[i]::double)) / "
+        "(sqrt(list_sum(list_transform(p.qv, x -> x::double * x::double))) * "
+        "sqrt(list_sum(list_transform(c.cv, x -> x::double * x::double))))"
+    )
+
+    # committed golden for the flagship full-corpus conversion (seed-42,
+    # n=100 — the exact input q_osm_convert_corpus builds at the driver's
+    # sf0.01 correctness scale); see tools/gen_convert_golden.py
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "convert_corpus_100.json",
+    )
+    with open(golden_path, encoding="utf-8") as f:
+        corpus_golden = json.load(f)
+    corpus_values = ", ".join(
+        f"('{d}', {n}::bigint, '{h}')" for d, n, h in corpus_golden
+    )
+
     return {
+        "osm_convert_corpus": f"""
+            select * from (values {corpus_values})
+            t(doc_id, n_features, geojson_md5)
+        """,
+        "ann_lsh": f"""
+            with c as (
+              select vec_id neighbor_id, embedding cv,
+                     {_sign_code_sql('embedding')} bucket
+              from embeddings
+            ),
+            q0 as (
+              select vec_id query_id, embedding qv,
+                     {_sign_code_sql('embedding')} code
+              from embeddings where vec_id < 8
+            ),
+            probes as (
+              select query_id, qv, unnest({lsh_probes}) bucket from q0
+            ),
+            cand as (
+              select distinct p.query_id, c.neighbor_id,
+                     round({cos_qv}, 9) cos
+              from probes p join c on p.bucket = c.bucket
+            ),
+            ranked as (
+              select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) rnk
+              from cand
+            )
+            select query_id, neighbor_id, rnk::bigint rank
+            from ranked where rnk <= 5
+        """,
         "osm_point_features": f"""
             select c_nationkey::bigint nation_id,
                    'node/' || c_custkey node_id,

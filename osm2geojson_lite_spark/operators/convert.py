@@ -100,9 +100,14 @@ def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
         way_coords = way_coords.persist()
         members = members.persist()
         _LIVE_CACHES.extend([live, way_coords, members])
-        live.count()
-        way_coords.count()
-        members.count()
+        # The three subtrees are mutually independent (each derives only from
+        # the cached `instances`), so their materializing counts run as
+        # concurrent jobs — one barrier instead of three, and the scheduler
+        # fills each job's tail with the next job's tasks.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as pool:
+            list(pool.map(lambda d: d.count(), [live, way_coords, members]))
     visible = visibility_filter(
         live, render_tagged=opts.render_tagged, exclude_way=opts.exclude_way
     )

@@ -8,6 +8,13 @@ byte-identical outputs (GeoJSON md5 per doc, tile assignments, kNN results,
 PIP pairs), and reports scaling efficiency = thr(4N) / (4 * thr(N)).
 Writes scaling_result_<N>v<4N>.json; BENCH.md summarizes the runs.
 
+The timed region is IDENTICAL to bench.py's headline (full conversion
+forced through the distributed noop sink): round 1 timed a driver-side
+``collect()`` of per-doc md5s instead, whose serial fetch+convert tax
+(measured 33.4s -> 57.4s on the same 32k-doc job) both deflated absolute
+throughput and distorted the scaling ratio.  Output hashes for the
+byte-identical assertion are computed OUTSIDE the timed region.
+
 Each scale runs in its own pinned subprocess (one JVM per parallelism).
 
 Usage: python tools/scaling_bench.py [--docs 48000] [--pair 8,32]
@@ -45,16 +52,22 @@ def worker(cpus: int, n_docs: int, sf_dir: str) -> None:
 
     # two measured executions; report the second (steady state) — the first
     # full-size run pays one-time JIT compilation of the generated code,
-    # which is a JVM warm-up artifact, not throughput
-    wall = convert_md5 = None
+    # which is a JVM warm-up artifact, not throughput.  Timed region ==
+    # bench.py's: full conversion through the distributed noop sink.
+    wall = None
     for _ in range(2):
         t0 = time.perf_counter()
-        out = convert(docs, Options(complete_feature=True)).select(
-            "doc_id", F.md5("geojson").alias("h")
-        )
-        rows = sorted((r["doc_id"], r["h"]) for r in out.collect())
+        convert(docs, Options(complete_feature=True)).write.format(
+            "noop"
+        ).mode("overwrite").save()
         wall = time.perf_counter() - t0
-        convert_md5 = hashlib.md5(json.dumps(rows).encode()).hexdigest()
+
+    # byte-identity hash, untimed (driver-side collect tax excluded)
+    out = convert(docs, Options(complete_feature=True)).select(
+        "doc_id", F.md5("geojson").alias("h")
+    )
+    rows = sorted((r["doc_id"], r["h"]) for r in out.collect())
+    convert_md5 = hashlib.md5(json.dumps(rows).encode()).hexdigest()
 
     import __spark_entry__ as entrymod
 
