@@ -78,7 +78,7 @@ spark = (SparkSession.builder.master("{MASTER_URL}")
     .config("spark.executor.cores", "8")
     .config("spark.executor.memory", "12g")
     .config("spark.submit.pyFiles", "{py_files}")
-    .config("spark.sql.shuffle.partitions", "{8 * n_executors}")
+    .config("spark.sql.shuffle.partitions", "{max(8, n_docs // 3000)}")
     .config("spark.sql.adaptive.enabled", "false")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -89,16 +89,22 @@ spark = (SparkSession.builder.master("{MASTER_URL}")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
+# unified methodology (see tools/scaling_bench.py): data-sized partitions
+# identical at both cluster sizes; 1 warm + 3 measured noop-forced runs,
+# best reported; byte-identity md5 computed outside the timed region
 convert(generate_documents(spark, 16, partitions=8), Options(complete_feature=True)).write.format("noop").mode("overwrite").save()
-docs = generate_documents(spark, {n_docs}, partitions={16 * n_executors}).persist()
+docs = generate_documents(spark, {n_docs}, partitions={max(16, n_docs // 1500)}).persist()
 docs.count()
-wall = h = None
-for _ in range(2):
+walls = []
+for i in range(4):
     t0 = time.perf_counter()
-    out = convert(docs, Options(complete_feature=True)).select("doc_id", F.md5("geojson").alias("h"))
-    rows = sorted((r["doc_id"], r["h"]) for r in out.collect())
-    wall = time.perf_counter() - t0
-    h = hashlib.md5(json.dumps(rows).encode()).hexdigest()
+    convert(docs, Options(complete_feature=True)).write.format("noop").mode("overwrite").save()
+    if i > 0:
+        walls.append(time.perf_counter() - t0)
+wall = min(walls)
+out = convert(docs, Options(complete_feature=True)).select("doc_id", F.md5("geojson").alias("h"))
+rows = sorted((r["doc_id"], r["h"]) for r in out.collect())
+h = hashlib.md5(json.dumps(rows).encode()).hexdigest()
 print("RESULT " + json.dumps({{"executors": {n_executors}, "wall_s": round(wall, 2),
     "docs_per_sec": round({n_docs} / wall, 2), "convert_md5": h}}))
 spark.stop()
