@@ -8,6 +8,11 @@ the operator families in __spark_entry__.queries().
 
 Execution is forced with the noop sink (full computation, no driver
 collect) so timings measure the distributed plan, not result transfer.
+Methodology is identical to tools/scaling_bench.py: one warm full-size
+execution (C2 JIT), then three measured executions with the BEST reported
+(back-to-back identical runs vary +-15% with neighbor load on this shared
+host); input/shuffle partitions sized to the data (~1500 docs per task),
+not to cores.
 """
 
 from __future__ import annotations
@@ -53,27 +58,30 @@ def main() -> None:
     from osm2geojson_lite_spark.session import get_spark
     from osm2geojson_lite_spark.sources.synth import generate_documents
 
-    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16),
+    input_parts = max(16, N_DOCS // 1500)
+    shuffle_parts = max(16, N_DOCS // 3000)
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=shuffle_parts,
                       adaptive=False)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
 
-    # warmup: compile the conversion DAG's codegen, JIT the generated code,
-    # start Python workers — one-time JVM costs, not throughput.  A
-    # non-trivial warmup size is needed to drive C2 JIT compilation.
-    force(convert(generate_documents(spark, max(N_DOCS // 4, 16), partitions=CPUS),
+    # warmup: compile the conversion DAG's codegen, start Python workers.
+    force(convert(generate_documents(spark, 2000, partitions=16),
                   Options(complete_feature=True)))
 
     # headline: full conversion throughput over the synthetic corpus.
-    # Two executions, second reported — the first full-size run still pays
-    # C2 JIT compilation (same steady-state methodology as BENCH.md).
-    docs = generate_documents(spark, N_DOCS, partitions=CPUS * 2).persist()
+    # One warm full-size execution (C2 JIT), then three measured, best
+    # reported — same timed region and policy as tools/scaling_bench.py.
+    docs = generate_documents(spark, N_DOCS, partitions=input_parts).persist()
     docs.count()  # materialize input outside the timed region
-    for _ in range(2):
+    walls = []
+    for i in range(4):
         t0 = time.perf_counter()
         force(convert(docs, Options(complete_feature=True)))
-        convert_s = time.perf_counter() - t0
+        if i > 0:
+            walls.append(time.perf_counter() - t0)
+    convert_s = min(walls)
     timings["osm_convert"] = round(convert_s, 3)
     docs_per_sec = N_DOCS / convert_s
 
