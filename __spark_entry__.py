@@ -38,13 +38,16 @@ from osm2geojson_lite_spark.pipeline.dedup import (  # noqa: E402
 from osm2geojson_lite_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     sign_lsh_topk,
 )
 from osm2geojson_lite_spark.pipeline.text import (  # noqa: E402
+    BPE_SPLIT_RE,
     STOPWORDS,
     doc_fingerprint,
     language_id,
     quality_counts,
+    token_counts,
 )
 from osm2geojson_lite_spark.sources.synth import SPAN_SCHEMA, generate_documents  # noqa: E402
 from osm2geojson_lite_spark.spatial import (  # noqa: E402
@@ -499,6 +502,25 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_token_counts(spark, sf_dir):
+    out = token_counts(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
+        F.col("n_pre_tokens").cast("bigint").alias("n_pre_tokens"),
+        F.col("n_subword_est").cast("bigint").alias("n_subword_est"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 5).select(
@@ -587,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "token_counts": q_token_counts,
         "embedding_neardup": q_embedding_neardup,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
@@ -725,6 +749,18 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_sum(list_transform(c.cv, x -> x::double * x::double))))"
     )
 
+    # IVF replay (q_ann_ivf): centroids = 16 lowest-id vectors, map-side
+    # nearest-centroid assignment, top-4 probe, exact re-rank
+    def _cos2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> {a}[i]::double * {b}[i]::double)) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> x::double * x::double))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> x::double * x::double))))"
+        )
+
+    bpe_re = BPE_SPLIT_RE  # plain char classes: Java regex == RE2
+
     # committed golden for the flagship full-corpus conversion (seed-42,
     # n=100 — the exact input q_osm_convert_corpus builds at the driver's
     # sf0.01 correctness scale); see tools/gen_convert_golden.py
@@ -742,6 +778,63 @@ def oracle_sql() -> dict[str, str]:
         "osm_convert_corpus": f"""
             select * from (values {corpus_values})
             t(doc_id, n_features, geojson_md5)
+        """,
+        "ann_ivf": f"""
+            with cent as (
+              select row_number() over (order by vec_id) - 1 cid, embedding cv
+              from embeddings order by vec_id limit 16
+            ),
+            a_scored as (
+              select v.vec_id neighbor_id, v.embedding av, c.cid,
+                     round({_cos2('v.embedding', 'c.cv')}, 9) cos
+              from embeddings v cross join cent c
+            ),
+            assigned as (
+              select neighbor_id, av, cid from (
+                select a_scored.*,
+                       row_number() over (partition by neighbor_id
+                                          order by cos desc, cid asc) rn
+                from a_scored
+              ) where rn = 1
+            ),
+            q as (select vec_id query_id, embedding qv
+                  from embeddings where vec_id < 8),
+            p_scored as (
+              select q.query_id, q.qv, c.cid,
+                     round({_cos2('q.qv', 'c.cv')}, 9) cos
+              from q cross join cent c
+            ),
+            probes as (
+              select query_id, qv, cid from (
+                select p_scored.*,
+                       row_number() over (partition by query_id
+                                          order by cos desc, cid asc) rn
+                from p_scored
+              ) where rn <= 4
+            ),
+            cand as (
+              select p.query_id, a.neighbor_id,
+                     round({_cos2('p.qv', 'a.av')}, 9) cos
+              from probes p join assigned a using (cid)
+            ),
+            ranked as (
+              select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) rnk
+              from cand
+            )
+            select query_id, neighbor_id, rnk::bigint rank
+            from ranked where rnk <= 5
+        """,
+        "token_counts": f"""
+            select doc_id,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x <> ''))::bigint n_ws_tokens,
+                   len(regexp_extract_all(text, '{bpe_re}'))::bigint n_pre_tokens,
+                   coalesce(list_sum(list_transform(
+                       regexp_extract_all(text, '{bpe_re}'),
+                       t -> (length(t) + 3) // 4)), 0)::bigint n_subword_est
+            from documents
         """,
         "ann_lsh": f"""
             with c as (

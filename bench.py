@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "text_quality",
     "ann_topk",
     "ann_lsh",
+    "ann_ivf",
+    "token_counts",
     "tpch_q1",
     "events_hourly",
 ]

@@ -25,8 +25,19 @@ from .dedup import (
     shingles_col,
     simhash,
 )
-from .similarity import brute_force_topk, embedding_near_duplicates, sign_lsh_topk
-from .text import doc_fingerprint, language_id, quality_counts, token_hash_col
+from .similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    sign_lsh_topk,
+)
+from .text import (
+    doc_fingerprint,
+    language_id,
+    quality_counts,
+    token_counts,
+    token_hash_col,
+)
 
 __all__ = [
     "exact_duplicates",
@@ -37,9 +48,11 @@ __all__ = [
     "simhash",
     "brute_force_topk",
     "embedding_near_duplicates",
+    "ivf_topk",
     "sign_lsh_topk",
     "doc_fingerprint",
     "language_id",
     "quality_counts",
+    "token_counts",
     "token_hash_col",
 ]

@@ -112,6 +112,80 @@ def sign_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
     )
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
+             n_centroids: int = 16, n_probe: int = 4,
+             query_id: str = "query_id", corpus_id: str = "vec_id",
+             q_vec: str = "embedding", c_vec: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) coarse quantization.
+
+    The second ANN scale path next to :func:`sign_lsh_topk`:
+
+    1. A small centroid table partitions the corpus: every vector is
+       assigned to its nearest centroid **map-side** (centroids are driver-
+       collected and inlined as literals — no shuffle, no UDF), giving the
+       inverted lists.  At 100 TB the centroid id is the table's partition/
+       bucketing key, so each query touches only ``n_probe`` partitions.
+    2. Each query ranks the centroids, probes its top ``n_probe`` lists via
+       a broadcast equi-join on centroid id, and re-ranks candidates
+       exactly.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic, training-free quantizer so a DuckDB oracle replays the
+    exact assignment; a real deployment trains them offline (k-means) and
+    the assignment/probe mechanics (the scale-critical part) are identical.
+    All comparisons round cosine to 9 decimals with centroid-id/neighbor-id
+    tiebreaks, so results are bit-stable across engines and partitionings.
+    """
+    import math
+
+    cent_rows = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(c_vec).alias("cv"))
+        .orderBy("cid").limit(n_centroids).collect()
+    )
+    cents = [[float(x) for x in r["cv"]] for r in cent_rows]
+
+    def cos_to_lit(vec: Column, cvec: list[float]) -> Column:
+        carr = F.array(*[F.lit(x) for x in cvec])
+        norm_c = math.sqrt(sum(x * x for x in cvec))
+        return _dot(vec, carr) / (_norm(vec) * F.lit(norm_c))
+
+    def cent_structs(vec: Column) -> list[Column]:
+        # greatest()/sort_array() compare struct fields in order:
+        # cosine first, then -i so ties go to the LOWEST centroid id
+        return [
+            F.struct(
+                F.round(cos_to_lit(vec, cv), 9).alias("cos"),
+                F.lit(-i).alias("ni"),
+                F.lit(i).alias("cid"),
+            )
+            for i, cv in enumerate(cents)
+        ]
+
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    assigned = c.select(
+        "neighbor_id", "cv", F.greatest(*cent_structs(F.col("cv")))["cid"].alias("cid")
+    )
+
+    probe_cids = F.slice(
+        F.sort_array(F.array(*cent_structs(F.col("qv"))), asc=False), 1, n_probe
+    )
+    q0 = queries.select(F.col(query_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    q = q0.select(
+        "query_id", "qv",
+        F.explode(F.transform(probe_cids, lambda s: s["cid"])).alias("cid"),
+    )
+    scored = F.broadcast(q).join(assigned, "cid", "inner").select(
+        "query_id", "neighbor_id",
+        F.round(cosine_col(F.col("qv"), F.col("cv")), 9).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_duplicates(vectors: DataFrame, *, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               block_col: str | None = None,

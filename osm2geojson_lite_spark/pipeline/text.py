@@ -84,6 +84,38 @@ def language_id(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
+# the split a byte-pair tokenizer sees before merges.  Plain character
+# classes only, so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_SPLIT_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(docs: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Token counting three ways (all integer, all oracle-exact):
+
+    - ``n_ws_tokens`` — whitespace tokens (the `tokens_col` split);
+    - ``n_pre_tokens`` — BPE-ish pre-tokenizer pieces (``BPE_SPLIT_RE``);
+    - ``n_subword_est`` — estimated post-merge subword count: each piece
+      contributes ``ceil(len/4)`` (the ~4-chars-per-token rule of thumb),
+      computed with integer arithmetic ``(len+3) div 4``.
+
+    Pure column expressions — scales as a projection.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+    subword = F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + ((F.length(p) + 3) / 4).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_pre_tokens"),
+        subword.alias("n_subword_est"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 of lowercased, whitespace-collapsed,

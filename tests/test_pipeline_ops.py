@@ -158,6 +158,47 @@ def test_sign_lsh_recalls_self(spark, embeddings):
         assert top1[q] == q  # a vector's nearest neighbor is itself
 
 
+def test_ivf_topk_recall_and_self(spark, embeddings):
+    from osm2geojson_lite_spark.pipeline import ivf_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(queries, embeddings, k=5, n_centroids=16, n_probe=4).collect()
+    brute = brute_force_topk(queries, embeddings, k=5).collect()
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # every query's own vector is in a probed list (its nearest centroid is
+    # its assigned centroid), so rank 1 must be itself
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in ivf if r["rank"] == 1}
+    assert rank1 == {q: q for q in ivf_sets}
+    # probing 4/16 lists must still recover a meaningful share of the exact
+    # top-5 (empirical on this corpus: well above the 25% scan fraction)
+    recall = sum(
+        len(ivf_sets[q] & brute_sets[q]) / 5 for q in brute_sets
+    ) / len(brute_sets)
+    assert recall >= 0.4, recall
+
+
+def test_token_counts_matches_python(spark, documents, docs_py):
+    import re as _re
+
+    from osm2geojson_lite_spark.pipeline import token_counts
+    from osm2geojson_lite_spark.pipeline.text import BPE_SPLIT_RE
+
+    got = {str(r["doc_id"]): r for r in token_counts(documents).collect()}
+    pat = _re.compile(BPE_SPLIT_RE)
+    for doc_id, text in docs_py[:100]:
+        pieces = pat.findall(text)
+        assert got[doc_id]["n_ws_tokens"] == len(_tokens(text))
+        assert got[doc_id]["n_pre_tokens"] == len(pieces)
+        assert got[doc_id]["n_subword_est"] == sum((len(p) + 3) // 4 for p in pieces)
+
+
 def test_embedding_near_duplicates_with_planted(spark, embeddings):
     planted = embeddings.filter(F.col("vec_id") == 0).select(
         F.lit(777777).alias("vec_id"), "embedding", "label"
