@@ -48,6 +48,7 @@ from osm2geojson_lite_spark.pipeline.text import (  # noqa: E402
     language_id,
     quality_counts,
     token_counts,
+    winnowing_fingerprints,
 )
 from osm2geojson_lite_spark.sources.synth import SPAN_SCHEMA, generate_documents  # noqa: E402
 from osm2geojson_lite_spark.spatial import (  # noqa: E402
@@ -521,6 +522,11 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return winnowing_fingerprints(docs, k=3, w=4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 5).select(
@@ -611,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "token_counts": q_token_counts,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "embedding_neardup": q_embedding_neardup,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
@@ -825,6 +832,30 @@ def oracle_sql() -> dict[str, str]:
             )
             select query_id, neighbor_id, rnk::bigint rank
             from ranked where rnk <= 5
+        """,
+        "winnow_fingerprint": f"""
+            with tk as (
+              select doc_id, {_TOKENS_SQL} tk from documents where doc_id < 200
+            ),
+            g as (
+              select doc_id,
+                     case when len(tk) >= 3 then
+                       [('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::bigint
+                        for i in generate_series(1, len(tk) - 2)]
+                     else []::bigint[] end grams
+              from tk
+            ),
+            w as (
+              select doc_id,
+                     case when len(grams) = 0 then []::bigint[]
+                          when len(grams) < 4 then [list_min(grams)]
+                          else list_sort(list_distinct(
+                            [list_min(grams[j:j+3])
+                             for j in generate_series(1, len(grams) - 3)]))
+                     end wins
+              from g
+            )
+            select doc_id, unnest(wins) fp from w
         """,
         "token_counts": f"""
             select doc_id,

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "token_counts",
+    "winnow_fingerprint",
     "tpch_q1",
     "events_hourly",
 ]

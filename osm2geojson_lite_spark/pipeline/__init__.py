@@ -37,6 +37,7 @@ from .text import (
     quality_counts,
     token_counts,
     token_hash_col,
+    winnowing_fingerprints,
 )
 
 __all__ = [
@@ -55,4 +56,5 @@ __all__ = [
     "quality_counts",
     "token_counts",
     "token_hash_col",
+    "winnowing_fingerprints",
 ]

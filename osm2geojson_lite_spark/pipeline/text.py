@@ -125,3 +125,50 @@ def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.md5(norm).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(docs: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 3,
+                           w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS rolling-window scheme): hash every token ``k``-gram in
+    position order, slide a window of ``w`` consecutive gram hashes, select
+    each window's minimum; the fingerprint set is the sorted distinct
+    selection.  Guarantees any shared run of ``w+k-1`` tokens between two
+    documents shares a fingerprint, while keeping only ~``2/(w+1)`` of the
+    gram hashes.
+
+    Returns exploded rows ``(doc_id, fp)``.  The gram hash is the shared
+    60-bit md5 (``token_hash_col``) rather than a Rabin rolling hash — the
+    window-minimum *selection* is what winnowing is; Rabin is a per-gram
+    constant-factor trick that whole-stage-codegen md5 doesn't need, and
+    md5 keeps the fingerprints reproducible in ANSI SQL.
+
+    Shape: two projections and one explode — no shuffle, no UDF.  The gram
+    array is materialized as a real column between the two selects so the
+    window expression references it once per row (inlining it into the
+    window lambda would re-hash every gram per window — the Catalyst
+    common-subexpression blowup).
+    """
+    toks = tokens_col(F.col(text_col))
+    gram_at = lambda i: token_hash_col(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(F.col("toks"), (i + j + 1).cast("int"))
+                           for j in range(k)])
+    )
+    with_grams = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= k,
+            F.transform(F.sequence(F.lit(0), F.size("toks") - k), gram_at),
+        ).otherwise(F.array().cast("array<bigint>")).alias("grams"),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("grams") - (w - 1)),
+        lambda j: F.array_min(F.slice("grams", j, w)),
+    )
+    fps = F.when(F.size("grams") == 0, F.array().cast("array<bigint>")).when(
+        F.size("grams") < w, F.array(F.array_min("grams"))
+    ).otherwise(F.array_sort(F.array_distinct(windows)))
+    return with_grams.select("doc_id", F.explode(fps).alias("fp"))

@@ -199,6 +199,40 @@ def test_token_counts_matches_python(spark, documents, docs_py):
         assert got[doc_id]["n_subword_est"] == sum((len(p) + 3) // 4 for p in pieces)
 
 
+def test_winnowing_matches_python_and_guarantee(spark, documents, docs_py):
+    from osm2geojson_lite_spark.pipeline import winnowing_fingerprints
+
+    k, w = 3, 4
+
+    def py_winnow(text):
+        toks = _tokens(text)
+        grams = [_h60(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+        if not grams:
+            return set()
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+    got: dict[str, set] = {}
+    for r in winnowing_fingerprints(documents, k=k, w=w).collect():
+        got.setdefault(str(r["doc_id"]), set()).add(r["fp"])
+    for doc_id, text in docs_py[:80]:
+        assert got.get(doc_id, set()) == py_winnow(text), doc_id
+
+    # winnowing guarantee: documents sharing a run of >= w+k-1 tokens share
+    # at least one fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= w+k-1 = 6
+    pair = spark.createDataFrame(
+        [("p1", "intro words then " + shared),
+         ("p2", shared + " completely different tail words here")],
+        "doc_id string, text string",
+    )
+    fps: dict[str, set] = {}
+    for r in winnowing_fingerprints(pair, k=k, w=w).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps["p1"] & fps["p2"]
+
+
 def test_embedding_near_duplicates_with_planted(spark, embeddings):
     planted = embeddings.filter(F.col("vec_id") == 0).select(
         F.lit(777777).alias("vec_id"), "embedding", "label"
