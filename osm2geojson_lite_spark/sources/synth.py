@@ -9,8 +9,11 @@ Two sources of documents, both shaped per BASELINE.json ``input_hint``
 - :func:`generate_documents` builds an arbitrary-size corpus of synthetic
   Overpass-JSON documents from the seed only (no wall clock, no external
   data): nodes, tagged ways (rings + open lines), multipolygon relations
-  with holes, plus controlled anomalies (dangling refs, duplicate ids,
-  mega-relation skew) so resolve-stage edge paths stay exercised at scale.
+  with holes, plus controlled anomalies (dangling refs, duplicate ids) so
+  resolve-stage edge paths stay exercised at scale.  (Skewed mega-documents
+  are exercised separately — `tests/test_round2_fixes.py` builds one
+  inline — so the corpus stays uniform and byte-pinned by the committed
+  conversion golden.)
 """
 
 from __future__ import annotations

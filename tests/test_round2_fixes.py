@@ -207,6 +207,83 @@ def test_materialize_intermediates_output_identical(spark):
 
 
 # ---------------------------------------------------------------------------
+# committed conversion golden must match the current engine output
+# ---------------------------------------------------------------------------
+
+
+def test_convert_corpus_golden_still_current(spark):
+    """Drift guard for tests/golden/convert_corpus_100.json (the
+    osm_convert_corpus oracle): converting a sample of the seed-42 corpus
+    must reproduce the committed md5s exactly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from osm2geojson_lite_spark import Options, convert
+    from osm2geojson_lite_spark.sources.synth import generate_documents
+
+    with open("/root/repo/tests/golden/convert_corpus_100.json", encoding="utf-8") as f:
+        golden = {d: (n, h) for d, n, h in _json.load(f)}
+    sample_ids = sorted(golden)[:12]
+    docs = generate_documents(spark, 100).filter(F.col("doc_id").isin(sample_ids))
+    out = convert(docs, Options(complete_feature=True)).select(
+        "doc_id", F.md5("geojson").alias("h")
+    ).collect()
+    assert len(out) == len(sample_ids)
+    for r in out:
+        assert r["h"] == golden[r["doc_id"]][1], r["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# mega-document skew: one document holding most of the corpus's elements
+# ---------------------------------------------------------------------------
+
+
+def test_convert_mega_document_skew(spark):
+    """A skewed corpus — one document with 20k nodes + a 2k-member way among
+    tiny documents — must convert correctly (the J1 node-ref join and the
+    ordered coord collection handle a hot (doc_id) key; explicit salting is
+    available via Options(salt=N) and must produce identical bytes)."""
+    import json as _json
+
+    from osm2geojson_lite_spark import Options, convert
+    from osm2geojson_lite_spark.sources.synth import SPAN_SCHEMA
+
+    n_nodes, way_len = 20000, 2000
+    elements = [
+        {"type": "node", "id": i + 1,
+         "lat": round(-80 + (i % 1600) * 0.1, 7),
+         "lon": round(-170 + (i % 3400) * 0.1, 7)}
+        for i in range(n_nodes)
+    ]
+    elements.append({
+        "type": "way", "id": 900000,
+        "nodes": [i + 1 for i in range(way_len)],
+        "tags": {"highway": "trunk"},
+    })
+    mega = _json.dumps({"elements": elements})
+    small = _json.dumps({"elements": [
+        {"type": "node", "id": 1, "lat": 1.0, "lon": 2.0,
+         "tags": {"name": "tiny"}},
+    ]})
+    rows = [("mega", [{"kind": "text", "text": mega, "media_ref": None, "offset": 0}])]
+    rows += [(f"s{i}", [{"kind": "text", "text": small, "media_ref": None, "offset": 0}])
+             for i in range(8)]
+    docs = spark.createDataFrame(rows, schema=SPAN_SCHEMA)
+
+    plain = {r["doc_id"]: r["geojson"] for r in convert(
+        docs, Options(complete_feature=True)).collect()}
+    feats = _json.loads(plain["mega"])["features"]
+    way = [f for f in feats if f["id"] == "way/900000"]
+    assert len(way) == 1
+    assert len(way[0]["geometry"]["coordinates"]) == way_len
+
+    salted = {r["doc_id"]: r["geojson"] for r in convert(
+        docs, Options(complete_feature=True, salt=8)).collect()}
+    assert salted == plain  # salting changes the plan, never the bytes
+
+
+# ---------------------------------------------------------------------------
 # session conf enforcement on reused sessions (ADVICE low)
 # ---------------------------------------------------------------------------
 
