@@ -96,13 +96,12 @@ def sign_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
         F.col(q_vec).alias("qv"),
         F.explode(probes).alias("bucket"),
     )
-    scored = (
-        F.broadcast(q).join(c, "bucket", "inner")
-        .select(
-            "query_id", "neighbor_id",
-            F.round(cosine_col(F.col("qv"), F.col("cv")), 9).alias("cos"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # probe buckets are distinct by construction (code and its 1-bit flips)
+    # and each corpus row sits in exactly one bucket, so every
+    # (query, neighbor) pair joins at most once — no dedup shuffle needed
+    scored = F.broadcast(q).join(c, "bucket", "inner").select(
+        "query_id", "neighbor_id",
+        F.round(cosine_col(F.col("qv"), F.col("cv")), 9).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .cells import CELL_RES_MIN, cell_col, cell_size_deg, neighbor_cells_col
+from .cells import cell_col, cell_size_deg, neighbor_cells_col
 
 # the final round's persisted `remaining` frame is still referenced by the
 # lazily-returned brute-force branch, so it cannot be unpersisted before the
@@ -41,20 +41,26 @@ def _topk(cands: DataFrame, k: int) -> DataFrame:
     )
 
 
+KNN_RES_MIN = 2  # kNN may iterate coarser than the tiling layer's res 7:
+# the cell encoding is generic and the radius guarantee holds at any
+# resolution; a too-fine start just burns driver rounds before the
+# guarantee radius covers k neighbors (results are exact either way).
+
+
 def auto_res(n_points: int, k: int) -> int:
     """Density heuristic: pick the resolution where a 3x3 disk is expected
-    to hold ~2k points (uniform-spread assumption), clamped to [res_min,
-    res_max].  2^(2r) cells at res r -> r = log2(9*n / 2k) / 2."""
+    to hold ~2k points (uniform-spread assumption), clamped to
+    [KNN_RES_MIN, 12].  2^(2r) cells at res r -> r = log2(9*n / 2k) / 2."""
     import math
 
     if n_points <= 0:
-        return CELL_RES_MIN
+        return KNN_RES_MIN
     r = int(math.log2(max(9.0 * n_points / (2.0 * max(k, 1)), 2.0)) / 2.0)
-    return max(CELL_RES_MIN, min(12, r))
+    return max(KNN_RES_MIN, min(12, r))
 
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
-             res_start: int | None = None, res_min: int = CELL_RES_MIN,
+             res_start: int | None = None, res_min: int = KNN_RES_MIN,
              query_id: str = "query_id", point_id: str = "point_id",
              q_lon: str = "lon", q_lat: str = "lat",
              p_lon: str = "lon", p_lat: str = "lat",
@@ -110,10 +116,12 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
                 cell_col(F.col("qlon"), F.col("qlat"), res), res, ring=ring)),
         )
         left = F.broadcast(q_cells) if broadcast_queries else q_cells
-        cands = (
-            left.join(p_cells, "cell", "inner")
-            .select("query_id", "neighbor_id", dist2.alias("dist2"))
-            .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup needed: neighbor_cells_col returns DISTINCT cells and a
+        # point belongs to exactly one cell per resolution, so each
+        # (query, neighbor) pair joins at most once per round — a
+        # dropDuplicates here would be a pure extra shuffle
+        cands = left.join(p_cells, "cell", "inner").select(
+            "query_id", "neighbor_id", dist2.alias("dist2")
         )
         topk = _topk(cands, k)
         # guaranteed-covered radius: ring x cell height at this resolution
