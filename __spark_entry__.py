@@ -522,6 +522,19 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_pipeline_clean(spark, sf_dir):
+    from osm2geojson_lite_spark.pipeline.compose import clean_corpus
+
+    out = clean_corpus(_docs_with_planted_dups(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "pred_lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        "fingerprint",
+    )
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return winnowing_fingerprints(docs, k=3, w=4)
@@ -618,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "token_counts": q_token_counts,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "pipeline_clean": q_pipeline_clean,
         "embedding_neardup": q_embedding_neardup,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
@@ -711,15 +725,18 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # stopword score per language (same lists as pipeline.text.STOPWORDS)
-    lang_scores = []
-    for lang in sorted(STOPWORDS):
-        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        lang_scores.append(
-            f"select doc_id, '{lang}' lang, "
-            f"len(list_filter({_TOKENS_SQL}, t -> t in ({lst}))) score "
-            f"from documents"
-        )
-    lang_union = " union all ".join(lang_scores)
+    def _lang_union(src: str) -> str:
+        parts = []
+        for lang in sorted(STOPWORDS):
+            lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            parts.append(
+                f"select doc_id, '{lang}' lang, "
+                f"len(list_filter({_TOKENS_SQL}, t -> t in ({lst}))) score "
+                f"from {src}"
+            )
+        return " union all ".join(parts)
+
+    lang_union = _lang_union("documents")
 
     cos_sql = (
         "list_sum(list_transform(generate_series(1, len(a.embedding)), "
@@ -832,6 +849,48 @@ def oracle_sql() -> dict[str, str]:
             )
             select query_id, neighbor_id, rnk::bigint rank
             from ranked where rnk <= 5
+        """,
+        "pipeline_clean": f"""
+            with u as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text from documents where doc_id < 20
+            ),
+            scores as ({_lang_union('u')}),
+            lranked as (
+              select doc_id, lang, score,
+                     row_number() over (partition by doc_id
+                                        order by score desc, lang asc) rn
+              from scores
+            ),
+            lang as (
+              select doc_id,
+                     case when score > 0 then lang else 'und' end pred_lang
+              from lranked where rn = 1
+            ),
+            ann as (
+              select u.doc_id, lang.pred_lang,
+                     len({_TOKENS_SQL}) n_tokens,
+                     len(list_distinct({_TOKENS_SQL})) n_distinct_tokens,
+                     (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) n_punct,
+                     length(text) n_chars,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint
+              from u join lang using (doc_id)
+            ),
+            gated as (
+              select * from ann
+              where pred_lang = 'en' and n_tokens >= 5
+                and n_punct <= n_chars * 0.2
+                and n_distinct_tokens >= n_tokens * 0.3
+            ),
+            dedup as (
+              select *, row_number() over (partition by fingerprint
+                                           order by doc_id) rn
+              from gated
+            )
+            select doc_id::bigint doc_id, pred_lang, n_tokens::bigint n_tokens,
+                   n_distinct_tokens::bigint n_distinct_tokens, fingerprint
+            from dedup where rn = 1
         """,
         "winnow_fingerprint": f"""
             with tk as (

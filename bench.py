@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "token_counts",
     "winnow_fingerprint",
+    "pipeline_clean",
     "tpch_q1",
     "events_hourly",
 ]

@@ -31,6 +31,7 @@ from .similarity import (
     ivf_topk,
     sign_lsh_topk,
 )
+from .compose import clean_corpus
 from .text import (
     doc_fingerprint,
     language_id,
@@ -41,6 +42,7 @@ from .text import (
 )
 
 __all__ = [
+    "clean_corpus",
     "exact_duplicates",
     "minhash_near_duplicates",
     "minhash_signatures",

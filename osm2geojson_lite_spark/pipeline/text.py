@@ -51,12 +51,11 @@ def quality_counts(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
-def language_id(docs: DataFrame, *, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """Stopword-hit language id: per language, count tokens in its stopword
-    list; argmax wins, alphabetical language code breaks ties, zero hits
-    everywhere -> 'und'."""
-    toks = tokens_col(F.col(text_col))
+def pred_lang_col(text: Column) -> Column:
+    """Stopword-hit language id as a single column expression: per language,
+    count tokens in its stopword list; argmax wins, alphabetical language
+    code breaks ties, zero hits everywhere -> 'und'."""
+    toks = tokens_col(text)
 
     def stop_score(words):
         wl = F.array(*[F.lit(w) for w in words])
@@ -78,9 +77,15 @@ def language_id(docs: DataFrame, *, id_col: str = "doc_id",
         for i, s in enumerate(scores)
     ]
     best = F.array_max(F.array(*ranked))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def language_id(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """DataFrame form of :func:`pred_lang_col`."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        pred_lang_col(F.col(text_col)).alias("pred_lang"),
     )
 
 
@@ -116,14 +121,18 @@ def token_counts(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
-def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+def fingerprint_col(text: Column) -> Column:
     """Normalization fingerprint: md5 of lowercased, whitespace-collapsed,
     trimmed text — the exact-dedup key that survives formatting noise."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """DataFrame form of :func:`fingerprint_col`."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(norm).alias("fingerprint"),
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
     )
 
 

@@ -199,6 +199,25 @@ def test_token_counts_matches_python(spark, documents, docs_py):
         assert got[doc_id]["n_subword_est"] == sum((len(p) + 3) // 4 for p in pieces)
 
 
+def test_clean_corpus_gates_and_dedups(spark):
+    from osm2geojson_lite_spark.pipeline.compose import clean_corpus
+
+    rows = [
+        (1, "the quick brown fox is seen with the lazy dog"),   # keeps
+        (2, "THE  Quick Brown  Fox is seen with the lazy dog"),  # exact dup of 1 (normalized)
+        (3, "el gato la casa de los que por con una hola"),      # not en
+        (4, "the and"),                                          # too short
+        (5, "the of to in is for with !!!!!!!!!!!!!!!!!!!!!!!"),  # punct-heavy
+        (6, "the the the the the the the the of of"),            # low diversity
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(docs).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept == {1}
+    [r] = out
+    assert r["pred_lang"] == "en" and r["n_tokens"] == 10
+
+
 def test_winnowing_matches_python_and_guarantee(spark, documents, docs_py):
     from osm2geojson_lite_spark.pipeline import winnowing_fingerprints
 
