@@ -11,8 +11,10 @@ collect) so timings measure the distributed plan, not result transfer.
 Methodology is identical to tools/scaling_bench.py: one warm full-size
 execution (C2 JIT), then three measured executions with the BEST reported
 (back-to-back identical runs vary +-15% with neighbor load on this shared
-host); input/shuffle partitions sized to the data (~1500 docs per task),
-not to cores.
+host).  Partitioning: one wave of fat tasks (input == shuffle == cores);
+the scaling harness instead pins identical data-sized partitioning across
+its two parallelism levels (plan-identity requirement) sized for its 4N
+leg — same principle, different constraint.
 """
 
 from __future__ import annotations
@@ -62,8 +64,13 @@ def main() -> None:
     from osm2geojson_lite_spark.session import get_spark
     from osm2geojson_lite_spark.sources.synth import generate_documents
 
-    input_parts = max(16, N_DOCS // 1500)
-    shuffle_parts = max(16, N_DOCS // 3000)
+    # One wave of fat tasks: input partitions == shuffle partitions == core
+    # count.  Measured at 64k docs on local[32] (best-of-2, same session
+    # policy): (32 in, 32 shuf) 1481 docs/s; (64, 32) 958; (42, 21) 937;
+    # (32, 64) 1329 — per-task Python/Arrow overhead dominates below ~2000
+    # docs/task, and reduce stages idle cores when shuffle < cores.
+    input_parts = CPUS
+    shuffle_parts = CPUS
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=shuffle_parts,
                       adaptive=False)
 
