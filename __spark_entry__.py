@@ -281,6 +281,45 @@ def q_osm_fixture_parity(spark, sf_dir):
     return spark.createDataFrame(rows, "fixture string, matches boolean")
 
 
+# the three conditioned-listener subscriptions pinned by the xml_events
+# oracle (counts in tests/golden/xml_events_counts.json are computed by the
+# independent scanner in tools/gen_events_golden.py, not the engine kernel)
+XML_EVENT_SUBSCRIPTIONS = [
+    "<osm.node[$lat>39]>",
+    "</osm.way.nd>",
+    "<osm.relation.member[$type=='way']>",
+]
+
+
+def q_xml_events(spark, sf_dir):
+    """S3 progressive event bus over the reference fixture corpus.
+
+    Per-(phase, path) emission counts plus the match counts of three
+    conditioned subscriptions (numeric coercion, plain close path, string
+    equality) — each subscription is a Catalyst filter over the one shared
+    event-extraction pass.
+    """
+    from osm2geojson_lite_spark.operators.convert import assemble_payload
+    from osm2geojson_lite_spark.operators.events import subscribe, xml_events
+    from osm2geojson_lite_spark.sources.synth import fixture_documents
+
+    ev = xml_events(assemble_payload(fixture_documents(spark, REFERENCE_DATA)))
+    out = ev.groupBy(
+        F.col("phase").alias("kind"), "path"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    for evt in XML_EVENT_SUBSCRIPTIONS:
+        from osm2geojson_lite_spark.operators.events import parse_event
+
+        path = parse_event(evt)[1]
+        out = out.unionByName(
+            subscribe(ev, evt)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.lit(evt).alias("kind"), F.lit(path).alias("path"), "n_events")
+        )
+    return out
+
+
 def q_osm_relation_geometry(spark, sf_dir):
     with open(os.path.join(REFERENCE_DATA, "relation.json"), encoding="utf-8") as f:
         payload = f.read()
@@ -610,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_way_resolution": q_osm_way_resolution,
         "osm_props_merge": q_osm_props_merge,
         "osm_fixture_parity": q_osm_fixture_parity,
+        "xml_events": q_xml_events,
         "osm_relation_geometry": q_osm_relation_geometry,
         "osm_polytag_classify": q_osm_polytag_classify,
         "osm_convert_corpus": q_osm_convert_corpus,
@@ -798,7 +838,23 @@ def oracle_sql() -> dict[str, str]:
         f"('{d}', {n}::bigint, '{h}')" for d, n, h in corpus_golden
     )
 
+    # committed golden for the S3 event bus (counts from the independent
+    # scanner in tools/gen_events_golden.py, NOT the engine kernel)
+    events_golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "xml_events_counts.json",
+    )
+    with open(events_golden_path, encoding="utf-8") as f:
+        events_golden = json.load(f)
+    events_values = ", ".join(
+        "('{}', '{}', {}::bigint)".format(k.replace("'", "''"), p, n)
+        for k, p, n in events_golden
+    )
+
     return {
+        "xml_events": f"""
+            select * from (values {events_values}) t(kind, path, n_events)
+        """,
         "osm_convert_corpus": f"""
             select * from (values {corpus_values})
             t(doc_id, n_features, geojson_md5)
