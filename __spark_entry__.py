@@ -579,6 +579,24 @@ def q_winnow_fingerprint(spark, sf_dir):
     return winnowing_fingerprints(docs, k=3, w=4)
 
 
+def q_media_decode(spark, sf_dir):
+    """Multimodal decode: parse real BMP/PPM/WAV/Y4M bytes to typed metadata.
+
+    The oracle states the metadata each blob was *encoded* with
+    (``media_spec``, the generation-time truth); the Spark side must recover
+    it by parsing the binary payloads — decoder and oracle share no code.
+    """
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        decode_media,
+        synthetic_media,
+    )
+
+    return decode_media(synthetic_media(spark, 300)).select(
+        "media_ref", "kind", "format", "width", "height", "n_frames",
+        "sample_rate", "n_samples",
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 5).select(
@@ -672,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
+        "media_decode": q_media_decode,
         "embedding_neardup": q_embedding_neardup,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
@@ -851,9 +870,24 @@ def oracle_sql() -> dict[str, str]:
         for k, p, n in events_golden
     )
 
+    # multimodal oracle: the generation-time spec, independent of the decoder
+    from osm2geojson_lite_spark.pipeline.multimodal import media_spec
+
+    media_values = ", ".join(
+        "('{kind}://blob/{i}', '{kind}', '{format}', {width}::int, "
+        "{height}::int, {n_frames}::int, {sample_rate}::int, "
+        "{n_samples}::int)".format(i=i, **media_spec(i))
+        for i in range(300)
+    )
+
     return {
         "xml_events": f"""
             select * from (values {events_values}) t(kind, path, n_events)
+        """,
+        "media_decode": f"""
+            select * from (values {media_values})
+            t(media_ref, kind, format, width, height, n_frames, sample_rate,
+              n_samples)
         """,
         "osm_convert_corpus": f"""
             select * from (values {corpus_values})

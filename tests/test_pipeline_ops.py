@@ -291,20 +291,95 @@ def test_doc_fingerprint_whitespace_invariant(spark):
     assert out[0] == out[1] == out[2]
 
 
-def test_media_pipeline_plumbing(spark):
+def test_media_decode_recovers_encoded_metadata(spark):
+    """The generator states the metadata each blob was encoded with
+    (media_spec) — the decoder must recover it by parsing bytes."""
+    from osm2geojson_lite_spark.pipeline.multimodal import media_spec
+
     media = synthetic_media(spark, 30)
     stats = media_byte_stats(media).collect()
     assert len(stats) == 30 and all(r["n_bytes"] > 0 for r in stats)
-    decoded = decode_media(media, fake=True)
-    rows = decoded.collect()
+    decoded = decode_media(media)
+    rows = {r["media_ref"]: r for r in decoded.collect()}
     assert len(rows) == 30
-    imgs = [r for r in rows if r["kind"] == "image"]
-    assert all(r["width"] >= 16 and r["height"] >= 16 for r in imgs)
-    plan = frame_sample_plan(decoded).collect()
-    assert len(plan) > 0 and all(r["frame_idx"] % 10 == 0 for r in plan)
+    for i in range(30):
+        spec = media_spec(i)
+        r = rows[f"{spec['kind']}://blob/{i}"]
+        for k in ("kind", "format", "width", "height", "n_frames",
+                  "sample_rate", "n_samples"):
+            assert r[k] == spec[k], (i, k, r[k], spec[k])
+    plan = frame_sample_plan(decoded, every_n=5).collect()
+    assert len(plan) > 0 and all(r["frame_idx"] % 5 == 0 for r in plan)
 
 
-def test_decode_media_stub_raises(spark):
-    media = synthetic_media(spark, 3)
+def test_decode_media_compressed_raises_or_skips(spark):
+    fake_png = b"\x89PNG\r\n\x1a\n" + b"\0" * 64
+    media = spark.createDataFrame(
+        [("image://png/0", "image", bytearray(fake_png))],
+        "media_ref string, kind string, payload binary",
+    )
     with pytest.raises(Exception):
-        decode_media(media, fake=False).collect()
+        decode_media(media).collect()
+    assert decode_media(media, on_error="skip").collect() == []
+
+
+def test_image_pixel_roundtrip_and_resize(spark):
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        _gradient_pixels,
+        decode_bmp_pixels,
+        decode_ppm_pixels,
+        encode_bmp,
+        encode_ppm,
+        image_features,
+        resize_images,
+    )
+
+    px = _gradient_pixels(7, 9, 5)
+    assert (decode_bmp_pixels(encode_bmp(px)) == px).all()
+    assert (decode_ppm_pixels(encode_ppm(px)) == px).all()
+
+    media = synthetic_media(spark, 12)
+    feats = {r["media_ref"]: r for r in image_features(media).collect()}
+    import numpy as np
+
+    from osm2geojson_lite_spark.pipeline.multimodal import media_spec
+
+    for i in range(12):
+        spec = media_spec(i)
+        if spec["kind"] != "image":
+            continue
+        r = feats[f"image://blob/{i}"]
+        expect = _gradient_pixels(i, spec["width"], spec["height"]).reshape(-1, 3).mean(axis=0)
+        assert abs(r["mean_r"] - expect[0]) < 1e-9
+        assert abs(r["mean_b"] - expect[2]) < 1e-9
+    resized = resize_images(media, 8, 6).collect()
+    assert all(len(r["pixels"]) == 8 * 6 * 3 for r in resized)
+    # nearest-neighbor: resized pixel (0,0) equals source pixel (0,0)
+    one = next(r for r in resized if r["media_ref"].endswith("/0"))
+    spec0 = media_spec(0)
+    src = _gradient_pixels(0, spec0["width"], spec0["height"])
+    got = np.frombuffer(one["pixels"], dtype=np.uint8).reshape(6, 8, 3)
+    assert (got[0, 0] == src[0, 0]).all()
+
+
+def test_audio_features_match_pcm(spark):
+    import numpy as np
+
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        _audio_samples,
+        audio_features,
+        media_spec,
+    )
+
+    media = synthetic_media(spark, 12)
+    rows = {r["media_ref"]: r for r in audio_features(media).collect()}
+    for i in range(12):
+        spec = media_spec(i)
+        if spec["kind"] != "audio":
+            continue
+        r = rows[f"audio://blob/{i}"]
+        x = _audio_samples(i, spec["n_samples"]).astype(np.float64)
+        assert r["sample_rate"] == spec["sample_rate"]
+        assert r["n_samples"] == spec["n_samples"]
+        assert abs(r["rms"] - float(np.sqrt((x * x).mean()))) < 1e-9
+        assert r["zero_crossings"] == int(((x[:-1] * x[1:]) < 0).sum())
