@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "token_counts",
     "winnow_fingerprint",
     "pipeline_clean",
+    "media_decode",
     "tpch_q1",
     "events_hourly",
 ]
