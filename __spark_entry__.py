@@ -422,6 +422,33 @@ def q_knn(spark, sf_dir):
     )
 
 
+def q_radius_join(spark, sf_dir):
+    """Cell-bucketed radius join: supplier sites x customer points within
+    0.7 planar degrees — exact (3x3 disk covering argument), one equi-join
+    shuffle instead of a cross join."""
+    from osm2geojson_lite_spark.spatial import radius_join
+
+    supp = _read(spark, sf_dir, "supplier")
+    left = supp.select(
+        F.col("s_suppkey").alias("site_id"),
+        (_lon(F.col("s_suppkey") * F.lit(31))).alias("lon"),
+        (_lat(F.col("s_suppkey") * F.lit(31))).alias("lat"),
+    )
+    cust = _read(spark, sf_dir, "customer")
+    right = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    )
+    out = radius_join(left, right, 0.7, left_id="site_id", right_id="point_id",
+                      broadcast_left=True)
+    return out.select(
+        F.col("left_id").cast("bigint").alias("site_id"),
+        F.col("right_id").cast("bigint").alias("point_id"),
+        F.round(F.col("dist2"), 9).alias("dist2"),
+    )
+
+
 def q_raster_assign(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     pts = cust.select(
@@ -675,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "pip_diamonds": q_pip_diamonds,
         "knn_cells": q_knn,
+        "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1109,6 +1137,19 @@ def oracle_sql() -> dict[str, str]:
             select point_id::bigint point_id, poly_id::bigint poly_id
             from pts, polys
             where abs(lon - cx) + abs(lat - cy) < 12.0
+        """,
+        "radius_join": f"""
+            with l as (select s_suppkey site_id,
+                              {LON_SQL.format(k='s_suppkey * 31')} llon,
+                              {LAT_SQL.format(k='s_suppkey * 31')} llat
+                       from supplier),
+            r as (select c_custkey point_id, {lon_c} rlon, {lat_c} rlat from customer)
+            select site_id::bigint site_id, point_id::bigint point_id,
+                   round((llon - rlon) * (llon - rlon)
+                         + (llat - rlat) * (llat - rlat), 9) dist2
+            from l, r
+            where (llon - rlon) * (llon - rlon)
+                  + (llat - rlat) * (llat - rlat) <= 0.7 * 0.7
         """,
         "knn_cells": f"""
             with q as (select s_suppkey query_id,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "tile_rollup",
     "pip_diamonds",
     "knn_cells",
+    "radius_join",
     "raster_assign",
     "dedup_exact",
     "minhash_neardup",

@@ -25,6 +25,7 @@ from .cells import (
 )
 from .knn import knn_join
 from .pip import pip_join, polygon_cover_cells
+from .range_join import radius_join, radius_res
 from .raster import raster_tile_assignment, tile_manifest
 
 __all__ = [
@@ -41,6 +42,8 @@ __all__ = [
     "knn_join",
     "pip_join",
     "polygon_cover_cells",
+    "radius_join",
+    "radius_res",
     "raster_tile_assignment",
     "tile_manifest",
 ]

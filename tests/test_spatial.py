@@ -161,3 +161,58 @@ def test_mercator_formula_matches_math(spark):
     phi = math.radians(lat)
     yt = int((1.0 - math.log(math.tan(phi) + 1 / math.cos(phi)) / math.pi) / 2.0 * n)
     assert (r["tile_x"], r["tile_y"]) == (xt, yt)
+
+
+# ---------------------------------------------------------------------------
+# radius (range) join
+# ---------------------------------------------------------------------------
+
+
+def _brute_radius(left, right, radius):
+    out = set()
+    for i, (lx, ly) in enumerate(left):
+        for j, (rx, ry) in enumerate(right):
+            if (lx - rx) ** 2 + (ly - ry) ** 2 <= radius * radius:
+                out.add((str(i), str(j)))
+    return out
+
+
+def test_radius_join_matches_bruteforce(spark, coords):
+    from osm2geojson_lite_spark.spatial.range_join import radius_join, radius_res
+
+    left = coords[:60]
+    right = coords
+    for radius in (0.05, 0.3, 1.7):
+        got = radius_join(
+            _pts(spark, left, idc="left_id"), _pts(spark, right, idc="right_id"),
+            radius, left_id="left_id", right_id="right_id",
+        ).collect()
+        pairs = {(r["left_id"], r["right_id"]) for r in got}
+        assert pairs == _brute_radius(left, right, radius), radius
+        # exactness precondition of the auto-picked resolution
+        from osm2geojson_lite_spark.spatial.cells import cell_size_deg
+
+        assert cell_size_deg(radius_res(radius)) >= radius
+
+
+def test_radius_join_salted_identical(spark, coords):
+    from osm2geojson_lite_spark.spatial.range_join import radius_join
+
+    l = _pts(spark, coords[:40], idc="left_id")
+    r = _pts(spark, coords, idc="right_id")
+    plain = {(x["left_id"], x["right_id"]) for x in radius_join(
+        l, r, 0.4, left_id="left_id", right_id="right_id").collect()}
+    salted = {(x["left_id"], x["right_id"]) for x in radius_join(
+        l, r, 0.4, left_id="left_id", right_id="right_id", salt=4).collect()}
+    assert plain == salted
+
+
+def test_radius_join_self_exclusion_and_res_guard(spark, coords):
+    from osm2geojson_lite_spark.spatial.range_join import radius_join
+
+    pts = _pts(spark, coords[:30], idc="pid")
+    got = radius_join(pts, pts, 0.5, left_id="pid", right_id="pid",
+                      include_self=False).collect()
+    assert all(r["left_id"] != r["right_id"] for r in got)
+    with pytest.raises(ValueError):
+        radius_join(pts, pts, 0.5, left_id="pid", right_id="pid", res=12)
