@@ -6,6 +6,8 @@ See SURVEY.md for the blueprint; public surface:
 """
 
 from .operators.convert import Options, build_features, convert
+from .operators.events import subscribe, xml_events
 from .session import get_spark
 
-__all__ = ["Options", "build_features", "convert", "get_spark"]
+__all__ = ["Options", "build_features", "convert", "get_spark",
+           "subscribe", "xml_events"]
