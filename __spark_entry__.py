@@ -6,12 +6,15 @@ full conversion pipeline -> GeoJSON per document.
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
 SURVEY.md §2 (+ §2.8 extensions and the training-pipeline ops).  Every
 hash/coordinate derivation is md5- or rational-arithmetic-based so the
-DuckDB oracle reproduces values bit-for-bit.  All 27 queries carry an
+DuckDB oracle reproduces values bit-for-bit.  All 35 queries carry an
 oracle: ``osm_convert_corpus`` pins against a committed golden
 ``(doc_id, n_features, geojson_md5)`` table for the seed-42 corpus
-(tests/golden/, regenerated only via tools/gen_convert_golden.py), and
-``ann_lsh`` is fully SQL-expressible — the sign-bucket code, Hamming-1
-probes and exact candidate re-rank are replayed in DuckDB.
+(tests/golden/, regenerated only via tools/gen_convert_golden.py);
+``ann_lsh``/``ann_ivf`` are fully SQL-expressible — bucket codes, probes
+and exact candidate re-rank replayed in DuckDB; ``xml_events`` pins
+against counts from an independent scanner (tools/gen_events_golden.py);
+``media_decode`` against the generation-time media spec (decoder and
+oracle share no code).
 """
 
 from __future__ import annotations
@@ -606,6 +609,33 @@ def q_winnow_fingerprint(spark, sf_dir):
     return winnowing_fingerprints(docs, k=3, w=4)
 
 
+def q_doc_sample(spark, sf_dir):
+    """Deterministic hash sample (rate 0.3): the row set is identical at any
+    partitioning/cluster size — `df.sample()` is not."""
+    from osm2geojson_lite_spark.pipeline.sample import (
+        deterministic_sample,
+        sample_hash_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.3).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        sample_hash_col(F.col("doc_id")).alias("sample_hash"),
+    )
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source quota cap (10 docs/source) by deterministic hash rank —
+    the per-domain curation primitive."""
+    from osm2geojson_lite_spark.pipeline.sample import quota_cap
+
+    docs = _read(spark, sf_dir, "documents")
+    return quota_cap(docs, "source", 10).select(
+        F.col("source").cast("string").alias("source"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode: parse real BMP/PPM/WAV/Y4M bytes to typed metadata.
 
@@ -719,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
         "media_decode": q_media_decode,
+        "doc_sample": q_doc_sample,
+        "source_quota": q_source_quota,
         "embedding_neardup": q_embedding_neardup,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
@@ -911,6 +943,26 @@ def oracle_sql() -> dict[str, str]:
     return {
         "xml_events": f"""
             select * from (values {events_values}) t(kind, path, n_events)
+        """,
+        "doc_sample": """
+            select doc_id::bigint doc_id,
+                   ('0x' || substr(md5('0:' || doc_id::varchar), 1, 8))::bigint
+                     sample_hash
+            from documents
+            where ('0x' || substr(md5('0:' || doc_id::varchar), 1, 8))::bigint
+                  < 1288490188
+        """,
+        "source_quota": """
+            select source, doc_id::bigint doc_id from (
+              select source, doc_id,
+                     row_number() over (
+                       partition by source
+                       order by ('0x' || substr(md5('0:' || doc_id::varchar),
+                                                1, 8))::bigint asc,
+                                doc_id asc
+                     ) rn
+              from documents
+            ) where rn <= 10
         """,
         "media_decode": f"""
             select * from (values {media_values})

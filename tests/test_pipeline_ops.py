@@ -383,3 +383,40 @@ def test_audio_features_match_pcm(spark):
         assert r["n_samples"] == spec["n_samples"]
         assert abs(r["rms"] - float(np.sqrt((x * x).mean()))) < 1e-9
         assert r["zero_crossings"] == int(((x[:-1] * x[1:]) < 0).sum())
+
+
+def test_deterministic_sample_stable_across_partitioning(spark):
+    from osm2geojson_lite_spark.pipeline.sample import deterministic_sample
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("doc_id"))
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(df.repartition(17), 0.3).collect()}
+    assert a == b  # partitioning-independent
+    assert 0.25 < len(a) / 2000 < 0.35  # rate honored (md5 uniformity)
+    # idempotent per salt; composes across salts
+    again = {r["doc_id"] for r in deterministic_sample(
+        deterministic_sample(df, 0.3), 0.3).collect()}
+    assert again == a
+    composed = {r["doc_id"] for r in deterministic_sample(
+        deterministic_sample(df, 0.5), 0.5, salt=1).collect()}
+    assert 0.19 < len(composed) / 2000 < 0.31
+
+
+def test_quota_cap_per_group(spark):
+    from osm2geojson_lite_spark.pipeline.sample import quota_cap
+
+    df = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 7).alias("domain"),
+    )
+    out = quota_cap(df, "domain", 10)
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 10 for n in counts.values()) and len(counts) == 7
+    # deterministic across partitionings
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in quota_cap(df.repartition(13), "domain", 10).collect()}
+    assert a == b
+    # quota above group size keeps everything
+    assert quota_cap(df, "domain", 100).count() == 300
