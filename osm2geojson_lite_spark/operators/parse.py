@@ -169,8 +169,19 @@ def _add_tag(rec: dict, k, v) -> None:
         rec["tag_events"].append((key, v))
 
 
-def _add_tags(rec: dict, tags: dict) -> None:
-    for k, v in tags.items():
+def _add_tags(rec: dict, tags) -> None:
+    # wrong-typed `tags` (array/string/number in hand-written Overpass JSON)
+    # must not kill the partition: JS `for..in` enumerates array/string
+    # indices and yields nothing for primitives — mirror that instead of
+    # raising (the reference, a per-document library, would throw here; an
+    # engine task cannot afford to)
+    if isinstance(tags, dict):
+        items = tags.items()
+    elif isinstance(tags, (list, str)):
+        items = ((str(i), v) for i, v in enumerate(tags))
+    else:
+        items = ()
+    for k, v in items:
         rec["tags"][k] = v
         if rec["etype"] == "way":
             rec["tag_events"].append((k, v))
@@ -253,20 +264,28 @@ def analyze_json(state: _DocState, osm: dict) -> None:
             for k, v in elem.items():
                 if k not in ("id", "type", "tags", "nodes", "geometry"):
                     way["props"][k] = v
-            if js_truthy(elem.get("geometry")):
+            # non-list geometry/nodes would throw in the reference too
+            # (`.forEach` of a primitive); here they must not kill the task
+            geom = elem.get("geometry")
+            nodes = elem.get("nodes")
+            if js_truthy(geom) and isinstance(geom, list):
                 way["way_slots"] = [
-                    {"p": i, "ref": None, "lon": token(g.get("lon")), "lat": token(g.get("lat"))}
-                    for i, g in enumerate(elem["geometry"])
+                    {"p": i, "ref": None,
+                     "lon": token(g.get("lon")) if isinstance(g, dict) else None,
+                     "lat": token(g.get("lat")) if isinstance(g, dict) else None}
+                    for i, g in enumerate(geom)
                 ]
-            elif js_truthy(elem.get("nodes")):
+            elif js_truthy(nodes) and isinstance(nodes, list):
                 way["way_slots"] = [
                     {"p": i, "ref": token(n), "lon": None, "lat": None}
-                    for i, n in enumerate(elem["nodes"])
+                    for i, n in enumerate(nodes)
                 ]
         elif etype == "relation":
             rel = state.new_instance("relation", elem.get("id"))
             b = elem.get("bounds")
             if js_truthy(b):
+                if not isinstance(b, dict):
+                    b = {}  # JS property access on a primitive -> undefined
                 rel["bounds"] = [
                     parse_float_js(b.get("minlon")), parse_float_js(b.get("minlat")),
                     parse_float_js(b.get("maxlon")), parse_float_js(b.get("maxlat")),
@@ -276,9 +295,10 @@ def analyze_json(state: _DocState, osm: dict) -> None:
             for k, v in elem.items():
                 if k not in ("id", "type", "tags", "bounds", "members"):
                     rel["props"][k] = v
-            if js_truthy(elem.get("members")):
-                for member in elem["members"]:
-                    _add_member(state, rel, member)
+            members = elem.get("members")
+            if js_truthy(members) and isinstance(members, list):
+                for member in members:
+                    _add_member(state, rel, member if isinstance(member, dict) else {})
 
 
 # --- XML path (reference index.ts:98-187) ----------------------------------

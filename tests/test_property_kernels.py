@@ -212,3 +212,69 @@ def test_event_kernel_matches_independent_scanner(trees):
     got = _doc_events("d", xml)
     expected = _ref_events(xml, "d")
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# parse robustness: a corrupt/adversarial document must never raise
+# (100 TB posture — one bad doc cannot kill a partition)
+# ---------------------------------------------------------------------------
+
+from osm2geojson_lite_spark.operators.parse import INSTANCE_SCHEMA, parse_document
+
+_INSTANCE_FIELDS = [f.split()[0] for f in INSTANCE_SCHEMA.split(", ")]
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=400, deadline=None)
+def test_parse_never_raises_on_arbitrary_text(payload):
+    rows = parse_document("d", payload)
+    for r in rows:
+        assert set(r) == set(_INSTANCE_FIELDS)
+        assert r["composite"] == f"{r['etype']}/{r['eid'] if r['eid'] is not None else 'undefined'}"
+
+
+@st.composite
+def osmish_payload(draw):
+    """Adversarial near-OSM payloads: valid JSON with wrong-typed fields,
+    truncated XML, mixed garbage around real elements."""
+    kind = draw(st.integers(0, 2))
+    if kind == 0:
+        elems = draw(st.lists(st.fixed_dictionaries({}, optional={
+            "type": st.sampled_from(["node", "way", "relation", "bogus", 7]),
+            "id": st.one_of(st.integers(-5, 5), st.text(max_size=3), st.none()),
+            "lat": st.one_of(st.floats(allow_nan=True, allow_infinity=True),
+                             st.text(max_size=4), st.none()),
+            "lon": st.one_of(st.floats(allow_nan=True, allow_infinity=True),
+                             st.text(max_size=4)),
+            "nodes": st.one_of(st.lists(st.integers(-3, 3), max_size=4),
+                               st.integers(), st.text(max_size=3)),
+            "tags": st.one_of(st.dictionaries(st.text(max_size=3),
+                                              st.text(max_size=3), max_size=3),
+                              st.lists(st.integers(), max_size=2), st.none()),
+            "members": st.one_of(
+                st.lists(st.fixed_dictionaries({}, optional={
+                    "type": st.sampled_from(["node", "way", "relation"]),
+                    "ref": st.integers(-3, 3),
+                    "role": st.text(max_size=5),
+                }), max_size=3),
+                st.integers(), st.none()),
+        }), max_size=5))
+        return json.dumps({"elements": elems})
+    if kind == 1:
+        base = ("<osm><node id='1' lat='1' lon='2'/><way id='3'>"
+                "<nd ref='1'/></way><relation id='4'>"
+                "<member type='way' ref='3' role='outer'/></relation></osm>")
+        cut = draw(st.integers(0, len(base)))
+        return base[:cut]
+    noise = draw(st.text(max_size=30))
+    return f"<osm>{noise}<node id='9' lat='x' lon=''/></osm>"
+
+
+@given(osmish_payload())
+@settings(max_examples=400, deadline=None)
+def test_parse_never_raises_on_adversarial_osm(payload):
+    rows = parse_document("d", payload)
+    # finalized rows must always be JSON-serializable column values
+    for r in rows:
+        json.loads(r["props_json"])
+        json.loads(r["tags_json"])
