@@ -278,3 +278,43 @@ def test_parse_never_raises_on_adversarial_osm(payload):
     for r in rows:
         json.loads(r["props_json"])
         json.loads(r["tags_json"])
+
+
+# ---------------------------------------------------------------------------
+# PIP: vectorized numpy twin == scalar reference kernel; degenerate safety
+# ---------------------------------------------------------------------------
+
+from osm2geojson_lite_spark.functions.geometry import (
+    is_ring,
+    point_inside_polygon,
+    ring_direction,
+)
+from osm2geojson_lite_spark.spatial.pip import points_inside_polygon
+
+coord = st.floats(min_value=-50, max_value=50, allow_nan=False)
+
+
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=8, unique=True),
+    st.lists(st.tuples(coord, coord), min_size=1, max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_vectorized_pip_matches_scalar(poly_pts, query_pts):
+    ring = [list(p) for p in poly_pts] + [list(poly_pts[0])]
+    want = [point_inside_polygon(list(q), ring) for q in query_pts]
+    got = points_inside_polygon(
+        np.asarray(query_pts, dtype=np.float64), np.asarray(ring, dtype=np.float64)
+    )
+    assert list(got) == want
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=1, max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_ring_helpers_never_raise_on_degenerate_input(pts):
+    ring = [list(p) for p in pts] + [list(pts[0])]
+    assert is_ring(ring) == (len(ring) >= 4)
+    if len(ring) >= 4:
+        assert ring_direction(ring) in ("clockwise", "counterclockwise")
+    # repeated / collinear points
+    flat = [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [0.0, 0.0]]
+    assert ring_direction(flat) in ("clockwise", "counterclockwise")
