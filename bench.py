@@ -98,11 +98,17 @@ def main() -> None:
     timings["osm_convert"] = round(convert_s, 3)
     docs_per_sec = N_DOCS / convert_s
 
+    # per-query: best of 2 (neighbor load on this shared host inflates
+    # single-shot timings by 2-5x in bad windows; the min is the dataflow)
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(qs[name](spark, SF_DIR))
+            w = time.perf_counter() - t0
+            best = w if best is None else min(best, w)
+        timings[name] = round(best, 3)
 
     print(json.dumps({
         "metric": "docs_per_sec_convert",
