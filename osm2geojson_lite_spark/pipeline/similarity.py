@@ -143,33 +143,42 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
     )
     cents = [[float(x) for x in r["cv"]] for r in cent_rows]
 
-    def cos_to_lit(vec: Column, cvec: list[float]) -> Column:
-        carr = F.array(*[F.lit(x) for x in cvec])
-        norm_c = math.sqrt(sum(x * x for x in cvec))
-        return _dot(vec, carr) / (_norm(vec) * F.lit(norm_c))
+    # ONE nested literal array + ONE transform lambda, with the row vector's
+    # norm hoisted to a column computed once.  The earlier form inlined
+    # n_centroids separate dot+norm expressions (the same row norm
+    # recomputed 16x) — arithmetic-identical, but the Catalyst tree was
+    # ~16x larger and optimizer/codegen time dominated small inputs.
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in cv]) for cv in cents])
+    norm_arr = F.array(*[F.lit(math.sqrt(sum(x * x for x in cv))) for cv in cents])
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
 
-    def cent_structs(vec: Column) -> list[Column]:
-        # greatest()/sort_array() compare struct fields in order:
+    def cent_structs(vec: Column, vnorm: Column) -> Column:
+        # sort_array()/array_max() compare struct fields in order:
         # cosine first, then -i so ties go to the LOWEST centroid id
-        return [
-            F.struct(
-                F.round(cos_to_lit(vec, cv), 9).alias("cos"),
-                F.lit(-i).alias("ni"),
-                F.lit(i).alias("cid"),
-            )
-            for i, cv in enumerate(cents)
-        ]
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.round(
+                    _dot(vec, F.element_at(cent_arr, i + 1))
+                    / (vnorm * F.element_at(norm_arr, i + 1)),
+                    9,
+                ).alias("cos"),
+                (-i).alias("ni"),
+                i.alias("cid"),
+            ),
+        )
 
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
-    assigned = c.select(
-        "neighbor_id", "cv", F.greatest(*cent_structs(F.col("cv")))["cid"].alias("cid")
+    assigned = c.withColumn("_vnorm", _norm(F.col("cv"))).select(
+        "neighbor_id", "cv",
+        F.array_max(cent_structs(F.col("cv"), F.col("_vnorm")))["cid"].alias("cid"),
     )
 
-    probe_cids = F.slice(
-        F.sort_array(F.array(*cent_structs(F.col("qv"))), asc=False), 1, n_probe
-    )
     q0 = queries.select(F.col(query_id).alias("query_id"), F.col(q_vec).alias("qv"))
-    q = q0.select(
+    probe_cids = F.slice(
+        F.sort_array(cent_structs(F.col("qv"), F.col("_qnorm")), asc=False), 1, n_probe
+    )
+    q = q0.withColumn("_qnorm", _norm(F.col("qv"))).select(
         "query_id", "qv",
         F.explode(F.transform(probe_cids, lambda s: s["cid"])).alias("cid"),
     )
