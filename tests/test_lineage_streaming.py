@@ -210,6 +210,17 @@ def test_table_layer_parquet_fallback(spark, tmp_path):
     back = spark.read.parquet(fpath)
     assert back.count() == 40 and "cell_r7" in back.columns
 
+    # read-side partition pruning: a cell predicate must prune partition
+    # directories at the source (the point of repartition-by-cell layout),
+    # not filter rows post-scan
+    one_cell = back.select("cell_r7").first()["cell_r7"]
+    pruned = spark.read.parquet(fpath).filter(F.col("cell_r7") == one_cell)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters: ["):]
+    pf = pf[: pf.index("]") + 1]
+    assert "cell_r7" in pf  # predicate reached the partition filter list
+    assert pruned.count() == back.filter(F.col("cell_r7") == one_cell).count()
+
     out = convert(docs, Options(complete_feature=True))
     gpath = str(tmp_path / "geojson")
     write_geojson(out, gpath, n_buckets=4)
