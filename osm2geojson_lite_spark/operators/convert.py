@@ -18,15 +18,52 @@ from .assemble import (
     relation_kernel,
     way_features_kernel,
 )
-from .emit import feature_collections, first_relation_geometry
+from .emit import emit_geojson, feature_collections, first_relation_geometry
 from .parse import parse_documents
 from .resolve import relation_closure, resolve_graph, visibility_filter
 
 
-# cached parse outputs of in-flight conversions (one per convert() call);
-# the next call unpersists them.  NOTE: run concurrent convert() pipelines
-# in separate sessions, or collect one before starting the next.
-_LIVE_CACHES: list = []
+class CacheScope:
+    """Owns the persisted intermediates of one conversion pipeline.
+
+    Pass an explicit scope to run concurrent ``convert()`` pipelines in one
+    session without them unpersisting each other's live caches; call
+    ``release()`` (or use as a context manager) once the pipeline's outputs
+    have been consumed.  When no scope is passed, ``convert()`` falls back to
+    a module-default scope whose previous contents are released on the next
+    scopeless call — the right cadence for bench/test loops, where caches
+    otherwise accumulate until eviction storms set in (measured 83s -> 200s
+    across three runs).
+    """
+
+    def __init__(self) -> None:
+        self._cached: list = []
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        self._cached.append(df)
+        return df
+
+    def track(self, df: DataFrame) -> DataFrame:
+        """Adopt an already-persisted frame for release with this scope."""
+        self._cached.append(df)
+        return df
+
+    def release(self) -> None:
+        while self._cached:
+            try:
+                self._cached.pop().unpersist()
+            except Exception:
+                pass
+
+    def __enter__(self) -> "CacheScope":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+_DEFAULT_SCOPE = CacheScope()
 
 
 @dataclass(frozen=True)
@@ -61,7 +98,9 @@ def assemble_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
+def build_features(
+    docs: DataFrame, opts: Options = Options(), scope: CacheScope | None = None
+) -> dict:
     """Run parse+resolve+assemble; returns dict with feature DataFrames."""
     payloads = assemble_payload(docs)
     # Persist AND eagerly materialize the parse output.  AQE runs the many
@@ -69,16 +108,12 @@ def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
     # populated cache they all race on the cold cache and each re-executes
     # the Python parse kernel (measured: ~10x parse core-time).  One count()
     # populates the cache once; every branch then scans columnar blocks.
-    # The previous conversion's cache is dropped first — without this,
-    # repeated convert() calls in one session accumulate cached plans until
-    # eviction storms set in (measured 83s -> 200s across three runs).
-    while _LIVE_CACHES:
-        try:
-            _LIVE_CACHES.pop().unpersist()
-        except Exception:
-            pass
-    instances = parse_documents(payloads).persist()
-    _LIVE_CACHES.append(instances)
+    if scope is None:
+        # scopeless call: recycle the module-default scope (drop the
+        # previous scopeless conversion's caches — see CacheScope docstring).
+        _DEFAULT_SCOPE.release()
+        scope = _DEFAULT_SCOPE
+    instances = scope.persist(parse_documents(payloads))
     instances.count()
 
     graph = resolve_graph(instances, salt=opts.salt)
@@ -91,23 +126,23 @@ def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
         # feature branches), `way_coords` (the J1 explode+join+collect — the
         # heaviest shuffle; read by way features AND the relation kernel) and
         # `members` (member-resolution join; read by the relation kernel AND
-        # the closure edges).  Eager counts populate each cache before the
-        # concurrent downstream stages race on it (a lazily-populated persist
-        # makes every first-wave stage re-run the Python parse, measured
-        # ~10x parse core-time).  Counts run over the already-cached
-        # `instances`, so each is one cheap columnar pass.
-        live = live.persist()
-        way_coords = way_coords.persist()
-        members = members.persist()
-        _LIVE_CACHES.extend([live, way_coords, members])
-        # The three subtrees are mutually independent (each derives only from
-        # the cached `instances`), so their materializing counts run as
-        # concurrent jobs — one barrier instead of three, and the scheduler
-        # fills each job's tail with the next job's tasks.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(3) as pool:
-            list(pool.map(lambda d: d.count(), [live, way_coords, members]))
+        # the closure edges).  Eager materialization populates each cache
+        # before the concurrent downstream stages race on it (a lazily
+        # populated persist makes every first-wave stage re-run the Python
+        # parse, measured ~10x parse core-time).  The three subtrees are
+        # mutually independent, so ONE union-count job materializes all
+        # three caches: the scheduler interleaves their stages freely inside
+        # a single job instead of three barriers.
+        live = scope.persist(live)
+        way_coords = scope.persist(way_coords)
+        members = scope.persist(members)
+        one = F.lit(1).alias("one")
+        (
+            live.select(one)
+            .unionAll(way_coords.select(one))
+            .unionAll(members.select(one))
+            .count()
+        )
     visible = visibility_filter(
         live, render_tagged=opts.render_tagged, exclude_way=opts.exclude_way
     )
@@ -176,23 +211,21 @@ def build_features(docs: DataFrame, opts: Options = Options()) -> dict:
     }
 
 
-def convert(docs: DataFrame, opts: Options = Options()) -> DataFrame:
+def convert(
+    docs: DataFrame, opts: Options = Options(), scope: CacheScope | None = None
+) -> DataFrame:
     """documents -> (doc_id, geojson).
 
     With ``complete_feature=True`` every doc yields a FeatureCollection;
     otherwise docs whose first qualifying relation produced features yield
     that bare geometry (reference default mode, ``index.ts:220-222``).
+    Both modes share one fused emit aggregation (see ``emit_geojson``).
     """
-    parts = build_features(docs, opts)
-    collections = feature_collections(docs, parts["features"])
-    if opts.complete_feature:
-        return collections
-    bare = first_relation_geometry(parts["relation_features"])
-    return (
-        collections.withColumnRenamed("geojson", "collection_json")
-        .join(bare, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("geojson"), F.col("collection_json")).alias("geojson"),
-        )
+    parts = build_features(docs, opts, scope=scope)
+    return emit_geojson(
+        docs,
+        parts["node_features"],
+        parts["way_features"],
+        parts["relation_features"],
+        complete_feature=opts.complete_feature,
     )

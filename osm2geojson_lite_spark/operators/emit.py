@@ -40,6 +40,70 @@ def feature_collections(doc_ids: DataFrame, features: DataFrame) -> DataFrame:
     )
 
 
+def emit_geojson(
+    doc_ids: DataFrame,
+    node_feats: DataFrame,
+    way_feats: DataFrame,
+    rel_feats: DataFrame,
+    complete_feature: bool,
+) -> DataFrame:
+    """Fused O1-O4 emit: one groupBy produces BOTH the ordered
+    FeatureCollection and (default mode) the first-relation bare geometry
+    (P4, ``index.ts:220-222``).
+
+    The naive plan (separate window over relation features + a
+    collections⟕bare join) costs two extra exchanges AND re-executes the
+    whole relation branch (closure + member joins + kernel) a second time.
+    Here the relation branch is consumed exactly once through the union,
+    and the bare geometry is a ``min(when(is_rel, ...))`` aggregate riding
+    the same shuffle as the collection — struct ordering on
+    ``(out_pos, sub_seq)`` replays the reference's first-qualifying-relation,
+    first-feature choice.
+    """
+    flagged = (
+        node_feats.withColumn("is_rel", F.lit(False))
+        .unionByName(way_feats.withColumn("is_rel", F.lit(False)))
+        .unionByName(rel_feats.withColumn("is_rel", F.lit(True)))
+    )
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.struct("out_pos", "sub_seq", "feature_json"))
+        ).alias("ordered")
+    ]
+    if not complete_feature:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("is_rel"),
+                    F.struct("out_pos", "sub_seq", "geometry_json"),
+                )
+            ).alias("first_rel")
+        )
+    per_doc = flagged.groupBy("doc_id").agg(*aggs)
+    collection = F.concat(
+        F.lit('{"type":"FeatureCollection","features":['),
+        F.coalesce(
+            F.array_join(F.transform("ordered", lambda s: s["feature_json"]), ","),
+            F.lit(""),
+        ),
+        F.lit("]}"),
+    )
+    if complete_feature:
+        geojson = collection
+    else:
+        geojson = F.coalesce(F.col("first_rel")["geometry_json"], collection)
+    # doc_id is unique by input contract — no distinct (saves a shuffle);
+    # the left join backfills empty collections for feature-less docs.
+    return doc_ids.select("doc_id").join(
+        per_doc.select("doc_id", geojson.alias("geojson")), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.col("geojson"), F.lit('{"type":"FeatureCollection","features":[]}')
+        ).alias("geojson"),
+    )
+
+
 def first_relation_geometry(relation_features: DataFrame) -> DataFrame:
     """P4: per doc, the geometry of the first feature of the first visible
     relation that produced any features; docs absent here fall back to the

@@ -25,11 +25,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .cells import cell_col, cell_size_deg, neighbor_cells_col
 
+from ..operators.convert import CacheScope
+
 # the final round's persisted `remaining` frame is still referenced by the
 # lazily-returned brute-force branch, so it cannot be unpersisted before the
-# caller consumes the result; the next knn_join() call drops it instead
-# (same pattern as operators.convert._LIVE_CACHES).
-_LIVE_CACHES: list = []
+# caller consumes the result.  Scopeless calls recycle this module-default
+# scope on the next call; pass an explicit CacheScope to run concurrent
+# knn_join pipelines in one session (same contract as operators.convert).
+_DEFAULT_SCOPE = CacheScope()
 
 
 def _topk(cands: DataFrame, k: int) -> DataFrame:
@@ -64,7 +67,8 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
              query_id: str = "query_id", point_id: str = "point_id",
              q_lon: str = "lon", q_lat: str = "lat",
              p_lon: str = "lon", p_lat: str = "lat",
-             broadcast_queries: bool = True) -> DataFrame:
+             broadcast_queries: bool = True,
+             scope: CacheScope | None = None) -> DataFrame:
     """-> (query_id, neighbor_id, dist2, rank) with exactly min(k, |points|)
     rows per query, identical to brute force."""
     q = queries.select(
@@ -99,11 +103,9 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
     if n_points is not None and n_points <= 3 * k:
         plan = []  # tiny corpus: brute force is already optimal
 
-    while _LIVE_CACHES:
-        try:
-            _LIVE_CACHES.pop().unpersist()
-        except Exception:
-            pass
+    if scope is None:
+        _DEFAULT_SCOPE.release()
+        scope = _DEFAULT_SCOPE
 
     results = None
     remaining = q
@@ -151,7 +153,7 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, *,
 
     # brute-force fallback for stragglers (sparse regions / tiny point sets)
     if prev_cached is not None:
-        _LIVE_CACHES.append(prev_cached)
+        scope.track(prev_cached)  # already persisted above
     leftover = F.broadcast(remaining) if broadcast_queries else remaining
     brute = _topk(
         leftover.crossJoin(p).select("query_id", "neighbor_id", dist2.alias("dist2")), k
