@@ -42,6 +42,8 @@ from osm2geojson_lite_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_centroids,
+    recall_at_k,
     sign_lsh_topk,
 )
 from osm2geojson_lite_spark.pipeline.text import (  # noqa: E402
@@ -268,6 +270,11 @@ def _normalize(obj):
 
 
 def q_osm_fixture_parity(spark, sf_dir):
+    """Golden-gate ONLY — this query collects converted docs AT THE DRIVER
+    to deep-compare against the reference's expected GeoJSON files.  Fine
+    for a 27-fixture parity gate; do NOT copy this shape into a data-path
+    operator (driver collect = not distributed).  Every production query in
+    this module stays on the cluster until the sink."""
     from osm2geojson_lite_spark.sources.synth import fixture_documents
 
     normalize = _normalize
@@ -586,6 +593,53 @@ def q_ann_ivf(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
+def _ann_queries(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, queries
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED quantizer: deterministic seeded k-means centroids
+    (kmeans_centroids — hash-ordered sample, 5 Lloyd iterations, 6dp-rounded
+    means) instead of the lowest-id baseline.  The oracle replays assignment
+    and probing against the committed golden centroid table
+    (tests/golden/ivf_centroids.json, independently regenerated by
+    tools/gen_ivf_centroids.py) — so a drift in the engine's training also
+    fails the gate, through the results it produces."""
+    emb, queries = _ann_queries(spark, sf_dir)
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=5,
+                             sample_size=512, seed=0)
+    out = ivf_topk(queries, emb, k=5, n_probe=4, centroids=cents)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_ann_recall(spark, sf_dir):
+    """Measured ANN quality: recall@5 per query for each approximate index
+    (sign-LSH, lowest-id IVF, k-means IVF) against the exact brute-force
+    top-5 — the number a user tuning code_bits / n_probe actually needs.
+    The oracle replays every index AND the brute force in SQL."""
+    emb, queries = _ann_queries(spark, sf_dir)
+    exact = brute_force_topk(queries, emb, k=5)
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=5,
+                             sample_size=512, seed=0)
+    variants = {
+        "ivf": ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4),
+        "ivf_kmeans": ivf_topk(queries, emb, k=5, n_probe=4, centroids=cents),
+        "lsh": sign_lsh_topk(queries, emb, k=5),
+    }
+    out = None
+    for name in sorted(variants):
+        rec = recall_at_k(variants[name], exact).select(
+            F.lit(name).alias("variant"), "query_id", "recall_at_k"
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
 def q_token_counts(spark, sf_dir):
     out = token_counts(_read(spark, sf_dir, "documents"))
     return out.select(
@@ -750,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_recall": q_ann_recall,
         "token_counts": q_token_counts,
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
@@ -935,6 +991,112 @@ def oracle_sql() -> dict[str, str]:
         for k, p, n in events_golden
     )
 
+    # committed golden centroids for the trained IVF quantizer
+    # (independently regenerated by tools/gen_ivf_centroids.py)
+    ivf_cent_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "ivf_centroids.json",
+    )
+    with open(ivf_cent_path, encoding="utf-8") as f:
+        ivf_cents = json.load(f)
+    kcent_values = ", ".join(
+        "({}, [{}]::double[])".format(c, ", ".join(repr(x) for x in cv))
+        for c, cv in enumerate(ivf_cents)
+    )
+
+    def _ivf_replay_sql(cent_sql: str, res_name: str) -> str:
+        """IVF assignment + top-4 probe + exact re-rank, as CTE blocks ending
+        in ``<res_name>(query_id, neighbor_id, rnk)``."""
+        p = res_name
+        return f"""
+            {p}_cent as ({cent_sql}),
+            {p}_a as (
+              select v.vec_id neighbor_id, v.embedding av, c.cid,
+                     round({_cos2('v.embedding', 'c.cv')}, 9) cos
+              from embeddings v cross join {p}_cent c
+            ),
+            {p}_assigned as (
+              select neighbor_id, av, cid from (
+                select {p}_a.*,
+                       row_number() over (partition by neighbor_id
+                                          order by cos desc, cid asc) rn
+                from {p}_a
+              ) where rn = 1
+            ),
+            {p}_ps as (
+              select q.query_id, q.qv, c.cid,
+                     round({_cos2('q.qv', 'c.cv')}, 9) cos
+              from annq q cross join {p}_cent c
+            ),
+            {p}_probes as (
+              select query_id, qv, cid from (
+                select {p}_ps.*,
+                       row_number() over (partition by query_id
+                                          order by cos desc, cid asc) rn
+                from {p}_ps
+              ) where rn <= 4
+            ),
+            {p}_cand as (
+              select pr.query_id, a.neighbor_id,
+                     round({_cos2('pr.qv', 'a.av')}, 9) cos
+              from {p}_probes pr join {p}_assigned a using (cid)
+            ),
+            {res_name} as (
+              select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) rnk
+              from {p}_cand
+            )"""
+
+    _annq_sql = ("annq as (select vec_id query_id, embedding qv "
+                 "from embeddings where vec_id < 8)")
+    _kcent_sql = (f"select cid, cv from (values {kcent_values}) t(cid, cv)")
+    _lowcent_sql = ("select row_number() over (order by vec_id) - 1 cid, "
+                    "embedding cv from embeddings order by vec_id limit 16")
+    _lsh_replay_sql = f"""
+            lshc as (
+              select vec_id neighbor_id, embedding cv,
+                     {_sign_code_sql('embedding')} bucket
+              from embeddings
+            ),
+            lshq as (
+              select query_id, qv, unnest({lsh_probes}) bucket
+              from (select query_id, qv, {_sign_code_sql('qv')} code from annq)
+            ),
+            lsh_cand as (
+              select distinct p.query_id, c.neighbor_id,
+                     round({cos_qv}, 9) cos
+              from lshq p join lshc c on p.bucket = c.bucket
+            ),
+            lsh_res as (
+              select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) rnk
+              from lsh_cand
+            )"""
+    _brute_sql = f"""
+            brute as (
+              select query_id, neighbor_id from (
+                select q.query_id, v.vec_id neighbor_id,
+                       row_number() over (partition by q.query_id
+                                          order by round({_cos2('q.qv', 'v.embedding')}, 9) desc,
+                                                   v.vec_id asc) rnk
+                from annq q cross join embeddings v
+              ) where rnk <= 5
+            )"""
+
+    def _recall_sql(res: str, name: str) -> str:
+        return f"""
+              select '{name}' variant, b.query_id,
+                     round(sum(case when r.neighbor_id is not null
+                                    then 1 else 0 end)::double / count(*), 6)
+                       recall_at_k
+              from brute b
+              left join (select query_id, neighbor_id from {res}
+                         where rnk <= 5) r
+                on r.query_id = b.query_id and r.neighbor_id = b.neighbor_id
+              group by b.query_id"""
+
     # multimodal oracle: the generation-time spec, independent of the decoder
     from osm2geojson_lite_spark.pipeline.multimodal import media_spec
 
@@ -1024,6 +1186,24 @@ def oracle_sql() -> dict[str, str]:
             )
             select query_id, neighbor_id, rnk::bigint rank
             from ranked where rnk <= 5
+        """,
+        "ann_ivf_kmeans": f"""
+            with {_annq_sql},
+            {_ivf_replay_sql(_kcent_sql, 'kivf')}
+            select query_id, neighbor_id, rnk::bigint rank
+            from kivf where rnk <= 5
+        """,
+        "ann_recall": f"""
+            with {_annq_sql},
+            {_brute_sql},
+            {_ivf_replay_sql(_lowcent_sql, 'ivf')},
+            {_ivf_replay_sql(_kcent_sql, 'kivf')},
+            {_lsh_replay_sql}
+            {_recall_sql('ivf', 'ivf')}
+            union all
+            {_recall_sql('kivf', 'ivf_kmeans')}
+            union all
+            {_recall_sql('lsh_res', 'lsh')}
         """,
         "pipeline_clean": f"""
             with u as (

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_kmeans",
+    "ann_recall",
     "token_counts",
     "winnow_fingerprint",
     "pipeline_clean",
@@ -97,6 +99,34 @@ def main() -> None:
     convert_s = min(walls)
     timings["osm_convert"] = round(convert_s, 3)
     docs_per_sec = N_DOCS / convert_s
+
+    # lineage-on vs lineage-off conversion (VERDICT r2 #8): same corpus,
+    # both writing real parquet (the checkpoint path's unit of work), so
+    # the delta is the lineage machinery itself — per-bucket-group jobs,
+    # dynamic partition overwrite, observe-based counts, log commits.
+    # Measured once each: secondary row, and the lineage path is
+    # deliberately multi-job so best-of-N would mostly resample host noise.
+    import shutil
+    import tempfile
+
+    from osm2geojson_lite_spark.lineage import convert_with_lineage
+
+    tmp = tempfile.mkdtemp(prefix="bench_lineage_")
+    try:
+        t0 = time.perf_counter()
+        convert(docs, Options(complete_feature=True)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "plain"))
+        timings["osm_convert_write"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        convert_with_lineage(
+            docs, os.path.join(tmp, "lineage_out"),
+            os.path.join(tmp, "lineage_log"), n_buckets=16, buckets_per_job=4,
+        )
+        timings["osm_convert_lineage"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # per-query: best of 2 (neighbor load on this shared host inflates
     # single-shot timings by 2-5x in bad windows; the min is the dataflow)

@@ -52,23 +52,41 @@ def emit_geojson(
     (P4, ``index.ts:220-222``).
 
     The naive plan (separate window over relation features + a
-    collections⟕bare join) costs two extra exchanges AND re-executes the
-    whole relation branch (closure + member joins + kernel) a second time.
-    Here the relation branch is consumed exactly once through the union,
-    and the bare geometry is a ``min(when(is_rel, ...))`` aggregate riding
-    the same shuffle as the collection — struct ordering on
-    ``(out_pos, sub_seq)`` replays the reference's first-qualifying-relation,
-    first-feature choice.
+    collections⟕bare join + a doc_ids backfill join) costs three extra
+    exchanges AND re-executes the whole relation branch (closure + member
+    joins + kernel) a second time.  Here:
+
+    - the relation branch is consumed exactly once through the union;
+    - the bare geometry is a ``min(when(is_rel, ...))`` aggregate riding
+      the same shuffle as the collection — struct ordering on
+      ``(out_pos, sub_seq)`` replays the reference's
+      first-qualifying-relation, first-feature choice;
+    - feature-less documents are covered by a per-doc SENTINEL row unioned
+      into the same aggregation (``collect_list`` skips its NULL struct),
+      so there is no backfill join — the whole emit is ONE shuffle.
     """
+    sentinel = doc_ids.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(None).cast("long").alias("out_pos"),
+        F.lit(None).cast("int").alias("sub_seq"),
+        F.lit(None).cast("string").alias("feature_id"),
+        F.lit(None).cast("string").alias("geom_type"),
+        F.lit(None).cast("string").alias("feature_json"),
+        F.lit(None).cast("string").alias("geometry_json"),
+        F.lit(False).alias("is_rel"),
+    )
     flagged = (
         node_feats.withColumn("is_rel", F.lit(False))
         .unionByName(way_feats.withColumn("is_rel", F.lit(False)))
         .unionByName(rel_feats.withColumn("is_rel", F.lit(True)))
+        .unionByName(sentinel)
     )
+    feature_struct = F.when(
+        F.col("feature_json").isNotNull(),
+        F.struct("out_pos", "sub_seq", "feature_json"),
+    )  # NULL for sentinel rows -> skipped by collect_list
     aggs = [
-        F.array_sort(
-            F.collect_list(F.struct("out_pos", "sub_seq", "feature_json"))
-        ).alias("ordered")
+        F.array_sort(F.collect_list(feature_struct)).alias("ordered")
     ]
     if not complete_feature:
         aggs.append(
@@ -82,26 +100,14 @@ def emit_geojson(
     per_doc = flagged.groupBy("doc_id").agg(*aggs)
     collection = F.concat(
         F.lit('{"type":"FeatureCollection","features":['),
-        F.coalesce(
-            F.array_join(F.transform("ordered", lambda s: s["feature_json"]), ","),
-            F.lit(""),
-        ),
+        F.array_join(F.transform("ordered", lambda s: s["feature_json"]), ","),
         F.lit("]}"),
     )
     if complete_feature:
         geojson = collection
     else:
         geojson = F.coalesce(F.col("first_rel")["geometry_json"], collection)
-    # doc_id is unique by input contract — no distinct (saves a shuffle);
-    # the left join backfills empty collections for feature-less docs.
-    return doc_ids.select("doc_id").join(
-        per_doc.select("doc_id", geojson.alias("geojson")), "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce(
-            F.col("geojson"), F.lit('{"type":"FeatureCollection","features":[]}')
-        ).alias("geojson"),
-    )
+    return per_doc.select("doc_id", geojson.alias("geojson"))
 
 
 def first_relation_geometry(relation_features: DataFrame) -> DataFrame:

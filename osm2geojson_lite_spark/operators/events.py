@@ -118,15 +118,6 @@ def condition_to_sql(exp: str) -> str:
     attribute against a *numeric* literal coerce the attribute to double
     (JS ``==`` string-number coercion parity).
     """
-    s = exp
-    # string literals: JS double quotes -> SQL single quotes
-    s = re.sub(r'"([^"]*)"', lambda m: "'" + m.group(1).replace("'", "''") + "'", s)
-    # operators (longest first)
-    s = s.replace("===", "==").replace("!==", "!=")
-    s = s.replace("==", " = ").replace("!=", " <> ")
-    s = s.replace("&&", " AND ").replace("||", " OR ")
-    s = re.sub(r"!(?![=<>])", " NOT ", s)
-
     def ref(m: re.Match) -> str:
         name = m.group(1)
         if name == "tag":
@@ -135,13 +126,34 @@ def condition_to_sql(exp: str) -> str:
             return "inner_text"
         return f"element_at(attrs, '{name}')"
 
-    s = _NAME_RE.sub(ref, s)
-    # numeric coercion: attrs are strings; JS '12' == 12 is true
-    s = _NUM_CMP_RE.sub(r"cast(\1 as double) \2 \3", s)
-    # tidy spacing introduced by operator padding — but never inside literals
-    parts = s.split("'")
-    parts[::2] = [re.sub(r"\s+", " ", p) for p in parts[::2]]
-    return "'".join(parts).strip()
+    # Split on JS double-quoted string literals FIRST (supporting \" escapes)
+    # so the operator / $name / coercion rewrites never touch literal
+    # contents: '$name=="a&&b"' must compare against the literal "a&&b",
+    # and '$k=="$id"' against the literal "$id" (ADVICE r2).
+    toks = re.split(r'"((?:[^"\\]|\\.)*)"', exp)
+    out = []
+    for i, tok in enumerate(toks):
+        if i % 2:  # literal body -> SQL single-quoted string
+            body = tok.replace('\\"', '"')
+            out.append("'" + body.replace("'", "''") + "'")
+            continue
+        # code segment: operators (longest first), then name refs
+        c = tok.replace("===", "==").replace("!==", "!=")
+        c = c.replace("==", " = ").replace("!=", " <> ")
+        c = c.replace("&&", " AND ").replace("||", " OR ")
+        c = re.sub(r"!(?![=<>])", " NOT ", c)
+        c = _NAME_RE.sub(ref, c)
+        # numeric coercion: attrs are strings; JS '12' == 12 is true.
+        # Comparisons against numeric literals live wholly inside one code
+        # segment (a literal comparison spans segments), so per-segment
+        # application cannot misfire inside user strings.
+        c = _NUM_CMP_RE.sub(r"cast(\1 as double) \2 \3", c)
+        # whitespace tidy — skipping single-quoted (SQL-style) literals,
+        # which pass through code segments verbatim
+        sq = c.split("'")
+        sq[::2] = [re.sub(r"\s+", " ", p) for p in sq[::2]]
+        out.append("'".join(sq))
+    return "".join(out).strip()
 
 
 def subscribe(events: DataFrame, evt: str) -> DataFrame:

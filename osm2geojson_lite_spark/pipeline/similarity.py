@@ -111,10 +111,63 @@ def sign_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
     )
 
 
+def kmeans_centroids(corpus: DataFrame, *, n_centroids: int = 16,
+                     n_iters: int = 5, sample_size: int = 512, seed: int = 0,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic seeded Lloyd's k-means for the IVF quantizer.
+
+    The offline-training pattern: train on a driver-sized sample, broadcast
+    the centroids — assignment (the scale-critical part) stays map-side in
+    :func:`ivf_topk`.  Every step is engine-agnostic so an independent
+    implementation reproduces the exact centroids:
+
+    - **sample** = the ``sample_size`` corpus rows with the smallest
+      ``md5(seed || ':' || id)`` (a standard hash both Spark and ANSI SQL
+      compute identically; at 100 TB this is a TABLESAMPLE-shaped top-M);
+    - **init** = the first ``n_centroids`` sample rows in hash order;
+    - each iteration assigns sample vectors to their nearest centroid by
+      cosine rounded to 9 dp (lowest centroid id wins ties) and recomputes
+      each centroid as the member mean **rounded to 6 dp** — rounding makes
+      the fixpoint invariant to float summation order, so numpy pairwise
+      sums and a plain sequential sum commit identical centroids.  Empty
+      clusters keep their previous centroid.
+
+    The committed golden (``tests/golden/ivf_centroids.json``, regenerated
+    by ``tools/gen_ivf_centroids.py`` with an independent DuckDB+pure-Python
+    implementation) pins the result; the ``ann_ivf_kmeans`` oracle reads it.
+    """
+    import numpy as np
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    rows = (
+        corpus.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"),
+                      key.alias("hk"))
+        .orderBy("hk", "sid").limit(sample_size).collect()
+    )
+    vecs = np.array([[float(x) for x in r["sv"]] for r in rows], dtype=np.float64)
+    cents = vecs[:n_centroids].copy()
+    for _ in range(n_iters):
+        vn = np.linalg.norm(vecs, axis=1)
+        cn = np.linalg.norm(cents, axis=1)
+        cos = np.round(vecs @ cents.T / np.outer(vn, cn), 9)
+        assign = np.argmax(cos, axis=1)  # first max -> lowest-cid tiebreak
+        new = cents.copy()
+        for c in range(len(cents)):
+            members = vecs[assign == c]
+            if len(members):
+                new[c] = np.round(members.mean(axis=0), 6)
+        cents = new
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
              n_centroids: int = 16, n_probe: int = 4,
              query_id: str = "query_id", corpus_id: str = "vec_id",
-             q_vec: str = "embedding", c_vec: str = "embedding") -> DataFrame:
+             q_vec: str = "embedding", c_vec: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) coarse quantization.
 
     The second ANN scale path next to :func:`sign_lsh_topk`:
@@ -128,20 +181,24 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
        a broadcast equi-join on centroid id, and re-ranks candidates
        exactly.
 
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors — a
-    deterministic, training-free quantizer so a DuckDB oracle replays the
-    exact assignment; a real deployment trains them offline (k-means) and
-    the assignment/probe mechanics (the scale-critical part) are identical.
+    ``centroids`` (a list of vectors, e.g. from :func:`kmeans_centroids`)
+    supplies a trained quantizer; when omitted, centroids default to the
+    ``n_centroids`` lowest-id corpus vectors — a training-free quantizer a
+    DuckDB oracle replays without a committed table.  Either way the
+    assignment/probe mechanics (the scale-critical part) are identical.
     All comparisons round cosine to 9 decimals with centroid-id/neighbor-id
     tiebreaks, so results are bit-stable across engines and partitionings.
     """
     import math
 
-    cent_rows = (
-        corpus.select(F.col(corpus_id).alias("cid"), F.col(c_vec).alias("cv"))
-        .orderBy("cid").limit(n_centroids).collect()
-    )
-    cents = [[float(x) for x in r["cv"]] for r in cent_rows]
+    if centroids is not None:
+        cents = [[float(x) for x in cv] for cv in centroids]
+    else:
+        cent_rows = (
+            corpus.select(F.col(corpus_id).alias("cid"), F.col(c_vec).alias("cv"))
+            .orderBy("cid").limit(n_centroids).collect()
+        )
+        cents = [[float(x) for x in r["cv"]] for r in cent_rows]
 
     # ONE nested literal array + ONE transform lambda, with the row vector's
     # norm hoisted to a column computed once.  The earlier form inlined
@@ -191,6 +248,29 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Measured ANN quality: per query, |approx ∩ exact| / |exact|.
+
+    Both inputs are (query_id, neighbor_id[, rank]) top-k result sets (the
+    shape every ``*_topk`` here returns).  The denominator is the exact
+    result count (min(k, |corpus|)), so recall is 1.0 exactly when the
+    approximate index returned every true neighbor.  One broadcast-sized
+    semi-join + two tiny aggregations — the measurement itself never scans
+    the corpus.
+    """
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall_at_k"),
     )
 
 

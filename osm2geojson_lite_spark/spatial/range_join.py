@@ -72,7 +72,11 @@ def radius_join(left: DataFrame, right: DataFrame, radius: float, *,
         F.col(r_lat).cast("double").alias("rlat"),
     ).withColumn("cell", cell_col(F.col("rlon"), F.col("rlat"), res))
 
-    if salt and salt > 1:
+    # Salting de-skews the SHUFFLE join only; a broadcast join has no
+    # shuffle to de-skew, and salt-folding the left side would just
+    # multiply the broadcast payload salt-fold for no benefit (ADVICE r2) —
+    # so salt is ignored when broadcast_left is set.
+    if salt and salt > 1 and not broadcast_left:
         r = r.withColumn("_s", F.pmod(F.xxhash64("right_id"), F.lit(salt)))
         l = l.withColumn("_s", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         keys = ["cell", "_s"]

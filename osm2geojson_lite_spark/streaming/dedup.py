@@ -15,8 +15,13 @@ Two layers, both with state that survives across micro-batches:
   fingerprint is within ``max_hamming`` bits.  First-wins, deterministic
   given arrival order.  Standard SimHash-blocking caveat: near-dups whose
   fingerprints differ inside the prefix land in different buckets and are
-  missed; production deployments run ``r`` bit-rotated passes to cover all
-  prefixes — mechanics identical, so one pass is what this operator models.
+  missed; ``rotations=r`` runs the standard mitigation — r passes, each
+  blocking on a different bit window of the fingerprint, state keyed by
+  (pass, bucket), per-doc verdicts merged in the sink (earliest pass wins).
+  A pair within ``max_hamming`` bits is caught whenever ANY window avoids
+  all differing bits.  Each pass keeps its own first-wins state, so a doc
+  flagged by one pass can still anchor matches in another — transitively
+  the same dup cluster (production pipelines union-find afterwards).
 
 Scale shape: state is partitioned by the blocking key (uniform md5-derived
 bits), per-bucket state is a compact array of int64 fingerprints, and each
@@ -36,6 +41,7 @@ from ..pipeline.dedup import simhash  # noqa: F401  (batch twin, for parity test
 DOC_SCHEMA = "doc_id string, text string"
 
 _NEAR_OUTPUT = StructType([
+    StructField("pass_idx", LongType()),
     StructField("doc_id", StringType()),
     StructField("simhash", LongType()),
     StructField("is_duplicate_of", StringType()),
@@ -127,22 +133,37 @@ def _make_near_update(max_hamming: int):
             out_dup.append(dup_of)
         state.update((kept_ids, kept_fps))
         yield pd.DataFrame(
-            {"doc_id": out_id, "simhash": out_fp, "is_duplicate_of": out_dup}
+            {"pass_idx": [int(key[0])] * len(out_id), "doc_id": out_id,
+             "simhash": out_fp, "is_duplicate_of": out_dup}
         )
 
     return update
 
 
+def pass_shifts(bits: int, prefix_bits: int, rotations: int) -> list[int]:
+    """Right-shift of each pass's blocking window, spread evenly from the
+    top window (the single-pass default) down to bit 0."""
+    if rotations <= 1:
+        return [bits - prefix_bits]
+    top = bits - prefix_bits
+    return [(top * (rotations - 1 - j)) // (rotations - 1)
+            for j in range(rotations)]
+
+
 def stream_near_dedup(spark: SparkSession, input_path: str, output_path: str,
                       checkpoint_path: str, *, bits: int = 48,
                       prefix_bits: int = 8, max_hamming: int = 3,
-                      trigger_once: bool = True):
+                      rotations: int = 1, trigger_once: bool = True,
+                      fingerprint_udf=None):
     """First-wins SimHash near-dedup over a document stream.
 
     Emits every document with ``is_duplicate_of`` = the kept document it
     collides with (NULL when the document itself is kept).  State per
-    blocking bucket persists across micro-batches via the checkpointed
-    state store.
+    (pass, blocking bucket) persists across micro-batches via the
+    checkpointed state store.  ``rotations`` > 1 blocks on several bit
+    windows (see module docstring); ``fingerprint_udf`` swaps the SimHash
+    fingerprint for a custom ``text -> long`` pandas UDF (tests plant exact
+    fingerprints with it).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -154,15 +175,29 @@ def stream_near_dedup(spark: SparkSession, input_path: str, output_path: str,
     # shape for TB-scale batch jobs; per-row python is fine here because a
     # micro-batch processes only its increment.  Hash identity between the
     # two is pinned by tests.
-    @pandas_udf("long")
-    def simhash_udf(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: simhash_py(t or "", bits))
+    if fingerprint_udf is None:
+        @pandas_udf("long")
+        def fingerprint_udf(text: pd.Series) -> pd.Series:
+            return text.map(lambda t: simhash_py(t or "", bits))
 
-    with_fp = stream.select(
-        "doc_id", simhash_udf(F.col("text")).alias("simhash")
-    ).withColumn("bucket", F.shiftright(F.col("simhash"), bits - prefix_bits))
+    mask = (1 << prefix_bits) - 1
+    shifts = pass_shifts(bits, prefix_bits, rotations)
+    passes = F.array(*[
+        F.struct(
+            F.lit(j).alias("pass_idx"),
+            F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for j, s in enumerate(shifts)
+    ])
+    with_fp = (
+        stream.select("doc_id", fingerprint_udf(F.col("text")).alias("simhash"))
+        .select("doc_id", "simhash", F.explode(passes).alias("p"))
+        .select("doc_id", "simhash", F.col("p.pass_idx").alias("pass_idx"),
+                F.col("p.bucket").alias("bucket"))
+    )
 
-    keyed = with_fp.groupBy("bucket")
+    keyed = with_fp.groupBy("pass_idx", "bucket")
     updated = keyed.applyInPandasWithState(
         _make_near_update(max_hamming),
         outputStructType=_NEAR_OUTPUT,
@@ -170,9 +205,32 @@ def stream_near_dedup(spark: SparkSession, input_path: str, output_path: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+    def sink(df, _id):
+        # merge per-doc verdicts across passes (batch-land aggregation on the
+        # micro-batch output — keeps the stream itself single-stateful-op):
+        # earliest pass with a hit wins; NULL only if every pass kept it.
+        merged = (
+            df.groupBy("doc_id")
+            .agg(
+                F.first("simhash").alias("simhash"),
+                F.min(
+                    F.when(
+                        F.col("is_duplicate_of").isNotNull(),
+                        F.struct("pass_idx", "is_duplicate_of"),
+                    )
+                ).alias("dup"),
+            )
+            .select(
+                "doc_id", "simhash",
+                F.col("dup")["is_duplicate_of"].alias("is_duplicate_of"),
+            )
+        )
+        merged.write.mode("append").parquet(output_path)
+
     writer = (
         updated.writeStream.outputMode("update")
-        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(output_path))
+        .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_path)
     )
     if trigger_once:

@@ -68,3 +68,112 @@ def test_fused_emit_default_mode_matches_reference(spark):
     # bare geometry == geometry of the first feature of the full collection
     assert normalize(out["relation.json"]) == normalize(exp["features"][0]["geometry"])
     assert out["empty.json"] == {"type": "FeatureCollection", "features": []}
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib + numpy unfilter) and PPM header hardening
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        _gradient_pixels, decode_png_pixels, encode_png)
+
+    # heights >= 5 exercise every filter type (encoder cycles y % 5)
+    for i, (w, h) in enumerate([(1, 1), (2, 7), (13, 11), (33, 24)]):
+        px = _gradient_pixels(i, w, h)
+        dec = decode_png_pixels(encode_png(px))
+        assert dec.shape == (h, w, 3)
+        assert (dec == px).all(), (w, h)
+
+
+def test_png_unsupported_raises():
+    import struct as _s
+    import zlib as _z
+
+    import pytest as _pt
+
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        _png_chunk, decode_png_pixels)
+
+    # 16-bit depth rejected
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(b"\0" * 26))
+            + _png_chunk(b"IEND", b""))
+    with _pt.raises(NotImplementedError):
+        decode_png_pixels(blob)
+
+
+def test_ppm_header_comments_and_trailing_bytes():
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        _ppm_header, decode_ppm_pixels)
+
+    ppm = b"P6\n# comment\n3 2\n# more\n255\n" + bytes(range(18)) + b"TRAILER"
+    assert _ppm_header(ppm)[:3] == (3, 2, 255)
+    assert decode_ppm_pixels(ppm).flatten().tolist() == list(range(18))
+
+
+def test_ppm_maxval_not_255_raises():
+    import pytest as _pt
+
+    from osm2geojson_lite_spark.pipeline.multimodal import decode_ppm_pixels
+
+    with _pt.raises(NotImplementedError):
+        decode_ppm_pixels(b"P6\n2 2\n65535\n" + bytes(24))
+
+
+def test_media_decode_matches_spec_including_png():
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        _decode_one, media_spec, synthetic_blob)
+
+    fmts = set()
+    for i in range(150):
+        _ref, _kind, payload = synthetic_blob(i)
+        meta = _decode_one(payload)
+        spec = media_spec(i)
+        fmts.add(spec["format"])
+        for k in ("format", "width", "height", "n_frames", "sample_rate",
+                  "n_samples"):
+            assert meta[k] == spec[k], (i, k)
+    assert "png" in fmts  # corpus now includes compressed-container images
+
+
+# ---------------------------------------------------------------------------
+# trained IVF quantizer: engine k-means == independently generated golden
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_centroids_match_golden(spark):
+    import json as _json
+
+    from osm2geojson_lite_spark.pipeline.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = kmeans_centroids(emb, n_centroids=16, n_iters=5, sample_size=512,
+                           seed=0)
+    with open("/root/repo/tests/golden/ivf_centroids.json") as f:
+        golden = _json.load(f)
+    assert len(got) == len(golden) == 16
+    for c, (g_vec, o_vec) in enumerate(zip(got, golden)):
+        assert g_vec == o_vec, f"centroid {c} diverged from golden"
+
+
+# ---------------------------------------------------------------------------
+# events DSL: literals containing operator/$ tokens survive compilation
+# ---------------------------------------------------------------------------
+
+
+def test_condition_to_sql_literals_untouched():
+    from osm2geojson_lite_spark.operators.events import condition_to_sql
+
+    assert condition_to_sql('$name=="a&&b"') == "element_at(attrs, 'name') = 'a&&b'"
+    assert condition_to_sql('$k=="$id"') == "element_at(attrs, 'k') = '$id'"
+    assert condition_to_sql('$v!="x==y"') == "element_at(attrs, 'v') <> 'x==y'"
+    # numeric coercion still applies outside literals
+    assert (condition_to_sql("$lat>39")
+            == "cast(element_at(attrs, 'lat') as double) > 39")
+    # quotes inside literals escape to doubled SQL quotes
+    assert condition_to_sql('$a=="it\'s"') == "element_at(attrs, 'a') = 'it''s'"

@@ -86,3 +86,38 @@ def test_simhash_py_matches_batch_operator(spark):
     batch = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=48).collect()}
     for doc_id, text in rows:
         assert batch[doc_id] == simhash_py(text, 48), doc_id
+
+
+def test_stream_near_dedup_rotations_catch_prefix_miss(spark, tmp_path):
+    """A planted near-dup pair differing ONLY inside the top prefix window:
+    missed at rotations=1 (documented blocking miss), caught at rotations=2
+    because the second pass blocks on the low bit window."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def planted_fp(text):
+        return text.map(int)  # doc text IS the fingerprint
+
+    fp_a = 0x0000F0F0F0F0
+    fp_b = fp_a ^ (1 << 45)  # 1 bit apart, inside the top-8 window (40..47)
+
+    for rotations, expect_dup in ((1, None), (2, "fa")):
+        d = f"rot{rotations}"
+        inp, outp, ckpt = (str(tmp_path / (d + s)) for s in ("in", "out", "ck"))
+        _write_docs(spark, inp, [("fa", str(fp_a)), ("fb", str(fp_b))])
+        q = stream_near_dedup(spark, inp, outp, ckpt, max_hamming=3,
+                              rotations=rotations, fingerprint_udf=planted_fp)
+        q.awaitTermination(120)
+        rows = {r["doc_id"]: r["is_duplicate_of"]
+                for r in spark.read.parquet(outp).collect()}
+        assert rows["fa"] is None, rotations
+        assert rows["fb"] == expect_dup, rotations
+
+
+def test_pass_shifts_layout():
+    from osm2geojson_lite_spark.streaming.dedup import pass_shifts
+
+    assert pass_shifts(48, 8, 1) == [40]
+    assert pass_shifts(48, 8, 2) == [40, 0]
+    assert pass_shifts(48, 8, 3) == [40, 20, 0]
+    assert all(0 <= s <= 40 for s in pass_shifts(48, 8, 5))

@@ -62,7 +62,9 @@ def start_worker(i: int, env):
     )
 
 
-def run_job(n_executors: int, n_docs: int, py_files: str) -> dict:
+def run_job(n_executors: int, n_docs: int, py_files: str, *,
+            shuffle_parts: int, input_parts: int, aqe: bool = False,
+            timed_execs: int = 3) -> dict:
     """Run the measurement job as a driver against the standalone master."""
     code = f"""
 import hashlib, json, time
@@ -78,8 +80,8 @@ spark = (SparkSession.builder.master("{MASTER_URL}")
     .config("spark.executor.cores", "8")
     .config("spark.executor.memory", "12g")
     .config("spark.submit.pyFiles", "{py_files}")
-    .config("spark.sql.shuffle.partitions", "{max(8, n_docs // 3000)}")
-    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "{shuffle_parts}")
+    .config("spark.sql.adaptive.enabled", "{str(aqe).lower()}")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
@@ -90,13 +92,13 @@ spark = (SparkSession.builder.master("{MASTER_URL}")
 spark.sparkContext.setLogLevel("ERROR")
 
 # unified methodology (see tools/scaling_bench.py): data-sized partitions
-# identical at both cluster sizes; 1 warm + 3 measured noop-forced runs,
+# identical at both cluster sizes; 1 warm + N measured noop-forced runs,
 # best reported; byte-identity md5 computed outside the timed region
 convert(generate_documents(spark, 16, partitions=8), Options(complete_feature=True)).write.format("noop").mode("overwrite").save()
-docs = generate_documents(spark, {n_docs}, partitions={max(16, n_docs // 1500)}).persist()
+docs = generate_documents(spark, {n_docs}, partitions={input_parts}).persist()
 docs.count()
 walls = []
-for i in range(4):
+for i in range({1 + timed_execs}):
     t0 = time.perf_counter()
     convert(docs, Options(complete_feature=True)).write.format("noop").mode("overwrite").save()
     if i > 0:
@@ -121,10 +123,31 @@ spark.stop()
 
 def main() -> None:
     n_docs = 64000
+    aqe = False
+    timed_execs = 3
+    out_path = "/root/repo/cluster_bench_result.json"
     args = sys.argv[1:]
     for i, a in enumerate(args):
         if a == "--docs":
             n_docs = int(args[i + 1])
+        if a == "--aqe":
+            aqe = True
+        if a == "--timed-execs":
+            timed_execs = int(args[i + 1])
+        if a == "--out":
+            out_path = args[i + 1]
+
+    # Partition counts identical at both cluster sizes (plan identity), but
+    # rounded UP to a multiple of the 4N leg's 32 cores: a reduce stage with
+    # 21 shuffle partitions leaves 11 of 32 cores idle for the whole stage —
+    # that alone caps 4N efficiency at 0.66 (r2 measured 0.574 with exactly
+    # this shape).  Fat tasks are kept by growing --docs, not shrinking
+    # partition counts.
+    def round_up(n: int, m: int) -> int:
+        return ((n + m - 1) // m) * m
+
+    input_parts = round_up(max(32, n_docs // 1500), 32)
+    shuffle_parts = round_up(max(32, n_docs // 3000), 32)
 
     env = dict(os.environ, SPARK_HOME=SPARK_HOME,
                SPARK_MASTER_OPTS="-Dspark.deploy.spreadOut=false",
@@ -141,7 +164,9 @@ def main() -> None:
             workers = [start_worker(i, env) for i in range(n_exec)]
             procs += workers
             time.sleep(8)
-            results[n_exec] = run_job(n_exec, n_docs, py_files)
+            results[n_exec] = run_job(
+                n_exec, n_docs, py_files, shuffle_parts=shuffle_parts,
+                input_parts=input_parts, aqe=aqe, timed_execs=timed_execs)
             print(f"{n_exec} executors: {results[n_exec]}", flush=True)
             for w in workers:
                 w.terminate()
@@ -157,9 +182,12 @@ def main() -> None:
     eff = r4["docs_per_sec"] / (4 * r1["docs_per_sec"])
     identical = r1["convert_md5"] == r4["convert_md5"]
     print(f"scaling efficiency N->4N executors: {eff:.3f}; byte-identical: {identical}")
-    with open("/root/repo/cluster_bench_result.json", "w") as f:
-        json.dump({"n_docs": n_docs, "one_executor": r1, "four_executors": r4,
+    with open(out_path, "w") as f:
+        json.dump({"n_docs": n_docs, "aqe": aqe,
+                   "input_parts": input_parts, "shuffle_parts": shuffle_parts,
+                   "one_executor": r1, "four_executors": r4,
                    "efficiency": round(eff, 3), "byte_identical": identical}, f, indent=2)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

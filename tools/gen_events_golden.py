@@ -25,11 +25,20 @@ from tests.test_xml_events import _ref_events  # noqa: E402
 DATA = "/root/reference/test/data"
 OUT = "/root/repo/tests/golden/xml_events_counts.json"
 
+def _as_num(v):
+    """Mirror the engine's cast-to-double semantics: a non-numeric attribute
+    casts to NULL and the filter drops the row (never a crash)."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
 # (event string, independent python predicate over (phase, path, attrs))
 SUBSCRIPTIONS = [
     ("<osm.node[$lat>39]>",
      lambda ph, p, at, it: ph == "open" and p == "osm.node"
-     and at.get("lat") is not None and float(at["lat"]) > 39),
+     and _as_num(at.get("lat")) is not None and _as_num(at["lat"]) > 39),
     ("</osm.way.nd>",
      lambda ph, p, at, it: ph == "close" and p == "osm.way.nd"),
     ("<osm.relation.member[$type=='way']>",
@@ -56,7 +65,6 @@ def main() -> None:
                     sub_counts[evt] += 1
     rows = sorted([k, p, n] for (k, p), n in counts.items())
     for evt, _pred in SUBSCRIPTIONS:
-        _ph, path, _exp = evt, "", None
         rows.append([evt, parse_path(evt), sub_counts.get(evt, 0)])
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump(rows, f, indent=0)

@@ -67,12 +67,15 @@ def worker(cpus: int, n_docs: int, sf_dir: str) -> None:
     docs.count()
 
     # one warm execution (pays one-time C2 JIT of the generated code), then
-    # three measured executions; report the BEST — this host is shared, and
+    # measured executions; report the BEST — this host is shared, and
     # back-to-back identical runs vary +-15% with neighbor load, which is
-    # not a property of the dataflow.  Timed region == bench.py's: full
-    # conversion through the distributed noop sink.
+    # not a property of the dataflow.  In --repeats mode the outer harness
+    # interleaves whole N/4N pairs instead, so each leg runs fewer inner
+    # executions (the repeat distribution replaces inner best-of).  Timed
+    # region == bench.py's: full conversion through the distributed noop sink.
+    timed_execs = int(os.environ.get("SPARK_GRAFT_TIMED_EXECS", "3"))
     walls = []
-    for i in range(4):
+    for i in range(1 + timed_execs):
         t0 = time.perf_counter()
         convert(docs, Options(complete_feature=True)).write.format(
             "noop"
@@ -115,6 +118,7 @@ def main() -> None:
 
     n_docs = 48000
     n_cpus, n4_cpus = 2, 8
+    repeats = 1
     sf_dir = "/root/testdata/sf0.01"
     args = sys.argv[1:]
     for i, a in enumerate(args):
@@ -124,33 +128,63 @@ def main() -> None:
             sf_dir = args[i + 1]
         if a == "--pair":            # e.g. --pair 8,32
             n_cpus, n4_cpus = (int(x) for x in args[i + 1].split(","))
+        if a == "--repeats":         # interleaved A/B pairs (>=5 per VERDICT r2)
+            repeats = int(args[i + 1])
 
-    results = {}
-    for cpus in (n_cpus, n4_cpus):
+    def run_leg(cpus: int) -> dict:
         # Pin each run to exactly its core budget: unpinned, the N-scale
         # run's Python UDF workers / GC / shuffle threads spill onto all 32
         # host cores and borrow unaccounted hardware.
         pin = ["taskset", "-c", f"0-{cpus - 1}"]
+        env = dict(os.environ)
+        if repeats > 1:
+            # the repeat distribution replaces inner best-of-3
+            env.setdefault("SPARK_GRAFT_TIMED_EXECS", "1")
         proc = subprocess.run(
             pin + [sys.executable, os.path.abspath(__file__), "--worker",
                    str(cpus), str(n_docs), sf_dir],
             capture_output=True, text=True, timeout=3000, cwd="/root/repo",
+            env=env,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(f"local[{cpus}]: {results[cpus]['docs_per_sec']} docs/sec", flush=True)
+        res = json.loads(line)
+        print(f"local[{cpus}]: {res['docs_per_sec']} docs/sec", flush=True)
+        return res
 
-    rn, r4 = results[n_cpus], results[n4_cpus]
-    eff = r4["docs_per_sec"] / (4 * rn["docs_per_sec"])
-    identical = (rn["convert_md5"] == r4["convert_md5"]
-                 and rn["hashes"] == r4["hashes"])
-    print(f"scaling efficiency N->4N: {eff:.3f}; byte-identical: {identical}")
+    # Interleave whole N/4N pairs (N,4N,N,4N,...) so slow drifts in external
+    # host load hit both legs of a pair about equally and bias cancels in
+    # the per-pair ratio; the median over pairs is the headline.
+    runs = []
+    for rep in range(repeats):
+        rn = run_leg(n_cpus)
+        r4 = run_leg(n4_cpus)
+        eff = r4["docs_per_sec"] / (4 * rn["docs_per_sec"])
+        identical = (rn["convert_md5"] == r4["convert_md5"]
+                     and rn["hashes"] == r4["hashes"])
+        print(f"pair {rep + 1}/{repeats}: efficiency {eff:.3f}; "
+              f"byte-identical: {identical}", flush=True)
+        runs.append({"pair": rep + 1,
+                     f"local{n_cpus}_docs_per_sec": rn["docs_per_sec"],
+                     f"local{n4_cpus}_docs_per_sec": r4["docs_per_sec"],
+                     "efficiency": round(eff, 3),
+                     "byte_identical": identical,
+                     "convert_md5": rn["convert_md5"]})
+
+    effs = sorted(r["efficiency"] for r in runs)
+    median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     out = {"n_docs": n_docs, "sf_dir": sf_dir,
-           f"local{n_cpus}": rn, f"local{n4_cpus}": r4,
-           "efficiency": round(eff, 3), "byte_identical": identical}
-    with open(f"/root/repo/scaling_result_{n_cpus}v{n4_cpus}.json", "w") as f:
+           "pair": [n_cpus, n4_cpus], "repeats": repeats,
+           "efficiency_median": median,
+           "efficiency_min": effs[0], "efficiency_max": effs[-1],
+           "all_byte_identical": all(r["byte_identical"] for r in runs),
+           "runs": runs}
+    suffix = "_repeats" if repeats > 1 else ""
+    path = f"/root/repo/scaling_result_{n_cpus}v{n4_cpus}{suffix}.json"
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(f"wrote /root/repo/scaling_result_{n_cpus}v{n4_cpus}.json")
+    print(f"median efficiency {median} (min {effs[0]}, max {effs[-1]}); "
+          f"wrote {path}")
 
 
 if __name__ == "__main__":
