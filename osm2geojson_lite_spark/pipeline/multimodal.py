@@ -179,48 +179,25 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png_pixels(payload: bytes) -> np.ndarray:
-    """(h, w, channels) uint8 from an 8-bit non-interlaced PNG, using ONLY
-    stdlib ``zlib`` (IDAT inflate) + numpy per-row unfiltering — no codec
-    library (VERDICT r2 #3: PNG decode needs no external codec).
+# Adam7 pass layout: (x0, y0, dx, dy) per PNG spec 8.2
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit
-    depth 8; palette/16-bit/interlaced raise ``NotImplementedError``."""
-    import zlib
 
-    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
-        raise ValueError("not a PNG stream")
-    pos, idat, hdr = 8, [], None
-    while pos + 8 <= len(payload):
-        clen = struct.unpack_from(">I", payload, pos)[0]
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + clen]
-        if ctype == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen  # length + type + crc
-    if hdr is None:
-        raise ValueError("PNG without IHDR")
-    w, h, bit_depth, color_type, _comp, _filt, interlace = hdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None:
-        raise NotImplementedError(
-            f"PNG bit_depth={bit_depth} color_type={color_type}; only 8-bit "
-            f"gray/RGB/gray-alpha/RGBA")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
-
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    lines = np.frombuffer(raw, np.uint8, count=h * (1 + stride)).reshape(
-        h, 1 + stride)
+def _png_unfilter(raw: bytes, off: int, h: int, w: int,
+                  bpp: int) -> tuple[int, np.ndarray]:
+    """Unfilter ``h`` scanlines of ``w`` pixels (bpp bytes each) starting at
+    byte ``off`` of the inflated stream; returns (next_offset, (h,w,bpp)
+    uint8)."""
+    stride = w * bpp
+    lines = np.frombuffer(raw, np.uint8, count=h * (1 + stride),
+                          offset=off).reshape(h, 1 + stride)
     filters = lines[:, 0]
-    rows = lines[:, 1:].reshape(h, w, channels).astype(np.int32)
-    out = np.empty((h, w, channels), np.int32)
-    up = np.zeros((w, channels), np.int32)
+    rows = lines[:, 1:].reshape(h, w, bpp).astype(np.int32)
+    out = np.empty((h, w, bpp), np.int32)
+    up = np.zeros((w, bpp), np.int32)
     for y in range(h):
         f, row = int(filters[y]), rows[y]
         if f == 0:
@@ -231,8 +208,8 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             rec = (row + up) % 256
         elif f in (3, 4):  # average/paeth: left-recursive, scan pixels
             rec = np.empty_like(row)
-            left = np.zeros(channels, np.int32)
-            upleft = np.zeros(channels, np.int32)
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
             for x in range(w):
                 if f == 3:
                     pred = (left + up[x]) >> 1
@@ -245,7 +222,72 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {f}")
         out[y] = rec
         up = out[y]
-    return out.astype(np.uint8)
+    return off + h * (1 + stride), out.astype(np.uint8)
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 (uint16 at depth 16) from a non-interlaced
+    PNG, using ONLY stdlib ``zlib`` (IDAT inflate) + numpy per-row
+    unfiltering — no codec library (VERDICT r2 #3: PNG decode needs no
+    external codec).
+
+    Supports color types 0 (gray), 2 (RGB), 3 (palette -> RGB via PLTE),
+    4 (gray+alpha), 6 (RGBA) at bit depths 8 and 16 (16-bit returns uint16;
+    the unfilter runs on byte lanes with bpp-byte pixel units per the PNG
+    spec), non-interlaced AND Adam7-interlaced.  Sub-8-bit depths raise
+    ``NotImplementedError``."""
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG stream")
+    pos, idat, hdr, plte = 8, [], None, None
+    while pos + 8 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + crc
+    if hdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = hdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if bit_depth not in (8, 16) or channels is None:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type}; only "
+            f"8/16-bit gray/RGB/palette/gray-alpha/RGBA")
+    if color_type == 3 and (plte is None or bit_depth != 8):
+        raise ValueError("palette PNG requires a PLTE chunk and 8-bit depth")
+
+    # the unfilter unit is the PIXEL as bpp BYTES (PNG spec 9.2: filters
+    # reference the byte bpp positions earlier), so 8- and 16-bit share one
+    # byte-lane code path — a 16-bit pixel is just a wider byte vector
+    bpp = channels * (bit_depth // 8)
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out8 = _png_unfilter(raw, 0, h, w, bpp)[1]
+    else:  # Adam7: seven independently-filtered sub-images scattered back
+        out8 = np.zeros((h, w, bpp), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            off, sub = _png_unfilter(raw, off, ph, pw, bpp)
+            out8[y0::dy, x0::dx] = sub
+    if color_type == 3:  # palette indices -> RGB
+        return plte[out8[:, :, 0]]
+    if bit_depth == 16:  # big-endian byte pairs -> uint16 samples
+        pairs = out8.reshape(h, w, channels, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
+    return out8
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -513,6 +555,8 @@ def _image_pixels(payload: bytes) -> np.ndarray | None:
         return decode_ppm_pixels(payload)
     if fmt == "png":
         px = decode_png_pixels(payload)
+        if px.dtype == np.uint16:  # features/resize operate on 8-bit
+            px = (px >> 8).astype(np.uint8)
         return px[:, :, :3] if px.shape[2] >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
     return None
 
