@@ -82,6 +82,7 @@ spark = (SparkSession.builder.master("{MASTER_URL}")
     .config("spark.submit.pyFiles", "{py_files}")
     .config("spark.sql.shuffle.partitions", "{shuffle_parts}")
     .config("spark.sql.adaptive.enabled", "{str(aqe).lower()}")
+    .config("spark.locality.wait", "0s")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
@@ -146,8 +147,10 @@ def main() -> None:
     def round_up(n: int, m: int) -> int:
         return ((n + m - 1) // m) * m
 
-    input_parts = round_up(max(32, n_docs // 1500), 32)
-    shuffle_parts = round_up(max(32, n_docs // 3000), 32)
+    input_parts = int(os.environ.get(
+        "CLUSTER_BENCH_INPUT_PARTS", round_up(max(32, n_docs // 1500), 32)))
+    shuffle_parts = int(os.environ.get(
+        "CLUSTER_BENCH_SHUFFLE_PARTS", round_up(max(32, n_docs // 3000), 32)))
 
     env = dict(os.environ, SPARK_HOME=SPARK_HOME,
                SPARK_MASTER_OPTS="-Dspark.deploy.spreadOut=false",
