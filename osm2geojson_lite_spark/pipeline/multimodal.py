@@ -13,9 +13,13 @@ library — parsed byte-by-byte with ``struct``/numpy:
 - **WAV** (RIFF PCM16) — fmt-chunk metadata + full PCM sample decode;
 - **Y4M** (``YUV4MPEG2`` uncompressed video) — header geometry + frame count
   by parsing FRAME markers;
-- **PNG** (8-bit gray/RGB/gray-alpha/RGBA, non-interlaced) — REAL decode
-  with stdlib ``zlib`` (IDAT inflate) + numpy per-row unfiltering
-  (none/sub/up/average/paeth); no codec library needed.
+- **PNG** (8/16-bit gray/RGB/palette/gray-alpha/RGBA, non-interlaced and
+  Adam7) — REAL decode with stdlib ``zlib`` (IDAT inflate) + numpy
+  byte-lane unfiltering (none/sub/up/average/paeth); no codec library;
+- **GIF** (87a/89a) — REAL decode AND encode with a pure-stdlib
+  variable-width LZW codec (sub-block reassembly, global/local palettes,
+  deferred-clear streams, 4-pass interlace); spec compliance pinned by a
+  canonical external fixture, not just round-trips.
 
 Codecs that genuinely need an external library (JPEG/H.264/MP3 — magic
 sniffed) raise ``NotImplementedError``; the dispatch point (`_decode_one`)
@@ -85,7 +89,7 @@ def media_spec(i: int) -> dict:
     s = _seed_bytes(i)
     kind = ["image", "audio", "video"][i % 3]
     if kind == "image":
-        fmt = ["bmp", "ppm", "png"][s[4] % 3]
+        fmt = ["bmp", "ppm", "png", "gif"][s[4] % 4]
         return {"kind": kind, "format": fmt, "width": 4 + s[0] % 29,
                 "height": 4 + s[1] % 23, "n_frames": 1, "sample_rate": 0,
                 "n_samples": 0}
@@ -106,6 +110,17 @@ def _gradient_pixels(i: int, w: int, h: int) -> np.ndarray:
     r = (x * 255 // max(w - 1, 1) + s[5]) % 256
     g = (y * 255 // max(h - 1, 1) + s[6]) % 256
     b = (x + y + s[7]) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _palette_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Gradient quantized to <= 64 unique colors (8 levels of r and g, b
+    from the seed) — a valid GIF palette image."""
+    s = _seed_bytes(i)
+    y, x = np.mgrid[0:h, 0:w]
+    r = ((x * 7 // max(w - 1, 1)) * 36 + s[5]) % 256
+    g = ((y * 7 // max(h - 1, 1)) * 36 + s[6]) % 256
+    b = np.full_like(r, s[7])
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
@@ -290,6 +305,185 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     return out8
 
 
+# ---------------------------------------------------------------------------
+# GIF (LZW, pure stdlib — GIF89a spec appendix F)
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(data: bytes, min_size: int) -> bytes:
+    """GIF-variant LZW with variable code width (LSB-first bit packing)."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    bits: list[int] = []
+    width = min_size + 1
+
+    def emit(code: int) -> None:
+        for b in range(width):
+            bits.append((code >> b) & 1)
+
+    table = {bytes([i]): i for i in range(1 << min_size)}
+    next_code = end + 1
+    emit(clear)
+    buf = bytes([data[0]])
+    for px in data[1:]:
+        cand = buf + bytes([px])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:  # table full: clear and restart
+            emit(clear)
+            width = min_size + 1
+            table = {bytes([i]): i for i in range(1 << min_size)}
+            next_code = end + 1
+        buf = bytes([px])
+    emit(table[buf])
+    emit(end)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            byte |= bit << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_size: int) -> bytes:
+    """Inverse of :func:`_lzw_encode`; handles deferred-clear streams
+    (table frozen at 4096 until a CLEAR arrives, per the GIF spec)."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    width = min_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_size)] + [b"", b""]
+    pos = 0
+    nbits = len(data) * 8
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int | None:
+        nonlocal pos
+        if pos + width > nbits:
+            return None
+        v = 0
+        for b in range(width):
+            v |= ((data[(pos + b) >> 3] >> ((pos + b) & 7)) & 1) << b
+        pos += width
+        return v
+
+    while True:
+        code = read_code()
+        if code is None or code == end:
+            break
+        if code == clear:
+            width = min_size + 1
+            table = table[: (1 << min_size) + 2]
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        # the decoder's table lags the encoder's by one entry (the next
+        # entry completes only when the following code arrives), so width
+        # grows one entry EARLY to stay in lockstep with the encoder
+        if len(table) + 1 == (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """GIF89a from (h, w, 3) uint8 — palette built from the unique colors
+    (must be <= 256; the synthetic gradients are quantized to satisfy
+    this), real LZW image data, non-interlaced."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors; GIF palette caps at 256")
+    ct_bits = max(1, int(len(colors) - 1).bit_length())
+    ct = np.zeros((1 << ct_bits, 3), np.uint8)
+    ct[: len(colors)] = colors
+    min_size = max(2, ct_bits)
+    lzw = _lzw_encode(inverse.astype(np.uint8).tobytes(), min_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
+            + ct.tobytes()
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_size]) + bytes(blocks)
+            + b"\x3B")
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB from the first image of a GIF87a/89a stream — header,
+    color tables, extension skipping, sub-block reassembly, LZW decode and
+    the 4-pass interlace scatter, all stdlib+numpy."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 1 << ((ipacked & 0x07) + 1)
+            ct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        min_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            lzw.extend(payload[pos + 1: pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(bytes(lzw), min_size), np.uint8,
+                            count=iw * ih)
+        grid = idx.reshape(ih, iw)
+        if ipacked & 0x40:  # 4-pass interlace: rows 0::8, 4::8, 2::4, 1::2
+            deinter = np.empty_like(grid)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                n_rows = len(range(start, ih, step))
+                deinter[start::step] = grid[src: src + n_rows]
+                src += n_rows
+            grid = deinter
+        return ct[grid]
+    raise ValueError("GIF stream with no image block")
+
+
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """RIFF/WAVE, PCM16 mono."""
     data = samples.astype("<i2").tobytes()
@@ -327,6 +521,8 @@ def synthetic_blob(i: int) -> tuple[str, str, bytes]:
         payload = encode_ppm(_gradient_pixels(i, spec["width"], spec["height"]))
     elif fmt == "png":
         payload = encode_png(_gradient_pixels(i, spec["width"], spec["height"]))
+    elif fmt == "gif":
+        payload = encode_gif(_palette_pixels(i, spec["width"], spec["height"]))
     elif fmt == "wav":
         payload = encode_wav(_audio_samples(i, spec["n_samples"]), spec["sample_rate"])
     else:
@@ -471,6 +667,10 @@ def _decode_one(payload: bytes) -> dict:
         px = decode_png_pixels(payload)
         return {"format": fmt, "width": px.shape[1], "height": px.shape[0],
                 "n_frames": 1, "sample_rate": 0, "n_samples": 0}
+    if fmt == "gif":
+        px = decode_gif_pixels(payload)
+        return {"format": fmt, "width": px.shape[1], "height": px.shape[0],
+                "n_frames": 1, "sample_rate": 0, "n_samples": 0}
     if fmt == "wav":
         rate, samples = decode_wav_samples(payload)
         return {"format": fmt, "width": 0, "height": 0, "n_frames": 0,
@@ -558,6 +758,8 @@ def _image_pixels(payload: bytes) -> np.ndarray | None:
         if px.dtype == np.uint16:  # features/resize operate on 8-bit
             px = (px >> 8).astype(np.uint8)
         return px[:, :, :3] if px.shape[2] >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    if fmt == "gif":
+        return decode_gif_pixels(payload)
     return None
 
 

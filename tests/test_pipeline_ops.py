@@ -344,12 +344,19 @@ def test_image_pixel_roundtrip_and_resize(spark):
 
     from osm2geojson_lite_spark.pipeline.multimodal import media_spec
 
+    from osm2geojson_lite_spark.pipeline.multimodal import _palette_pixels
+
+    def src_pixels(i, spec):
+        # gif blobs are palette-quantized; all other image formats gradient
+        gen = _palette_pixels if spec["format"] == "gif" else _gradient_pixels
+        return gen(i, spec["width"], spec["height"])
+
     for i in range(12):
         spec = media_spec(i)
         if spec["kind"] != "image":
             continue
         r = feats[f"image://blob/{i}"]
-        expect = _gradient_pixels(i, spec["width"], spec["height"]).reshape(-1, 3).mean(axis=0)
+        expect = src_pixels(i, spec).reshape(-1, 3).mean(axis=0)
         assert abs(r["mean_r"] - expect[0]) < 1e-9
         assert abs(r["mean_b"] - expect[2]) < 1e-9
     resized = resize_images(media, 8, 6).collect()
@@ -357,7 +364,7 @@ def test_image_pixel_roundtrip_and_resize(spark):
     # nearest-neighbor: resized pixel (0,0) equals source pixel (0,0)
     one = next(r for r in resized if r["media_ref"].endswith("/0"))
     spec0 = media_spec(0)
-    src = _gradient_pixels(0, spec0["width"], spec0["height"])
+    src = src_pixels(0, spec0)
     got = np.frombuffer(one["pixels"], dtype=np.uint8).reshape(6, 8, 3)
     assert (got[0, 0] == src[0, 0]).all()
 

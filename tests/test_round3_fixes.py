@@ -265,3 +265,78 @@ def test_png_16bit_depth():
     assert px.dtype == np.uint16 and px.shape == (2, 2, 1)
     assert px[0, 0, 0] == 0x1234 and px[0, 1, 0] == 0xABCD
     assert px[1, 0, 0] == 0x0102 and px[1, 1, 0] == 0x0406
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (pure-stdlib LZW)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_canonical_fixture():
+    """Decode the canonical documented 1x1 white GIF — bytes NOT produced
+    by our encoder, so this pins spec compliance, not self-consistency."""
+    from osm2geojson_lite_spark.pipeline.multimodal import decode_gif_pixels
+
+    one = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "2c000000000100010000"
+        "0202"
+        "4401"
+        "00"
+        "3b")
+    px = decode_gif_pixels(one)
+    assert px.shape == (1, 1, 3) and px[0, 0].tolist() == [255, 255, 255]
+
+
+def test_gif_lzw_roundtrip_width_growth_and_clear():
+    import numpy as np
+
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        _lzw_decode, _lzw_encode)
+
+    rng = np.random.default_rng(7)
+    # 70k symbols over 200 values forces width growth to 12 bits AND a
+    # table-full clear/restart mid-stream
+    for n, alphabet in ((10, 4), (1000, 16), (70000, 200)):
+        data = bytes(rng.integers(0, alphabet, n, dtype=np.uint8))
+        ms = max(2, (alphabet - 1).bit_length())
+        assert _lzw_decode(_lzw_encode(data, ms), ms) == data, (n, alphabet)
+    rep = b"abcabcabd" * 3000  # deep dictionary chains
+    assert _lzw_decode(_lzw_encode(rep, 8), 8) == rep
+
+
+def test_gif_roundtrip_and_interlace():
+    import struct as _s
+
+    import numpy as np
+
+    from osm2geojson_lite_spark.pipeline.multimodal import (
+        _lzw_encode, _palette_pixels, decode_gif_pixels, encode_gif)
+
+    for i, (w, h) in enumerate([(1, 1), (2, 7), (13, 11), (29, 23)]):
+        p = _palette_pixels(i, w, h)
+        dec = decode_gif_pixels(encode_gif(p))
+        assert dec.shape == (h, w, 3) and (dec == p).all(), (w, h)
+
+    # interlaced variant built by hand (pass-ordered rows, flag 0x40)
+    p = _palette_pixels(9, 7, 13)
+    flat = p.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    ct_bits = max(1, int(len(colors) - 1).bit_length())
+    ct = np.zeros((1 << ct_bits, 3), np.uint8)
+    ct[:len(colors)] = colors
+    ms = max(2, ct_bits)
+    grid = inv.astype(np.uint8).reshape(13, 7)
+    passes = np.concatenate([grid[0::8], grid[4::8], grid[2::4], grid[1::2]])
+    lzw = _lzw_encode(passes.tobytes(), ms)
+    blocks = bytearray()
+    for j in range(0, len(lzw), 255):
+        c = lzw[j:j + 255]
+        blocks.append(len(c))
+        blocks.extend(c)
+    blocks.append(0)
+    gif_i = (b"GIF89a" + _s.pack("<HHBBB", 7, 13, 0x80 | (ct_bits - 1), 0, 0)
+             + ct.tobytes() + b"\x2C" + _s.pack("<HHHHB", 0, 0, 7, 13, 0x40)
+             + bytes([ms]) + bytes(blocks) + b"\x3B")
+    assert (decode_gif_pixels(gif_i) == p).all()
