@@ -29,6 +29,9 @@ from .similarity import (
     brute_force_topk,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_centroids,
+    recall_at_k,
+    sign_lsh_multi_topk,
     sign_lsh_topk,
 )
 from .compose import clean_corpus
@@ -52,6 +55,9 @@ __all__ = [
     "brute_force_topk",
     "embedding_near_duplicates",
     "ivf_topk",
+    "kmeans_centroids",
+    "recall_at_k",
+    "sign_lsh_multi_topk",
     "sign_lsh_topk",
     "doc_fingerprint",
     "language_id",

@@ -179,7 +179,7 @@ def test_kmeans_centroids_match_golden(spark):
     from osm2geojson_lite_spark.pipeline.similarity import kmeans_centroids
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    got = kmeans_centroids(emb, n_centroids=16, n_iters=5, sample_size=512,
+    got = kmeans_centroids(emb, n_centroids=16, n_iters=20, sample_size=512,
                            seed=0)
     with open("/root/repo/tests/golden/ivf_centroids.json") as f:
         golden = _json.load(f)
