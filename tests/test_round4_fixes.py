@@ -149,6 +149,30 @@ def test_kmeans_zero_norm_guard(spark):
     assert all(math.isfinite(x) for cv in cents for x in cv)
 
 
+def test_lineage_log_backends_interchangeable(spark, tmp_path):
+    """The driver-side pyarrow log writer (round-4 fixed-cost cut) must
+    produce parquet that the Spark reader path parses with the identical
+    schema, and vice versa — logs are interchangeable between backends."""
+    from osm2geojson_lite_spark.lineage import LINEAGE_SCHEMA, LineageLog
+
+    lin = str(tmp_path / "lin")
+    log = LineageLog(lin)
+    log.mark_done(spark, "runA", [("0", 10), ("1", 20)], wall_ms=5)
+    log.mark_done(spark, "runB", [("0", 7)], wall_ms=3)
+
+    # pyarrow-written files, read back through BOTH backends
+    assert log.completed_keys(spark, "runA") == ["0", "1"]
+    df = spark.read.schema(LINEAGE_SCHEMA).parquet(lin)
+    assert df.count() == 3
+    assert [f.name for f in df.schema.fields] == [
+        "run_id", "partition_key", "status", "n_rows", "wall_ms",
+        "finished_at_ms",
+    ]
+    got = {(r["run_id"], r["partition_key"], r["n_rows"])
+           for r in df.collect()}
+    assert got == {("runA", "0", 10), ("runA", "1", 20), ("runB", "0", 7)}
+
+
 def test_kmeans_farthest_point_spreads_lists(emb):
     """The motivating defect: hash-order init packed centroids into one
     dense region.  Farthest-point init must not leave any inverted list
