@@ -79,6 +79,26 @@ class Options:
     # branch.  At scale recomputing a TB-sized join 2-3x is strictly worse
     # than one materialization; False restores the recompute-from-parse plan.
     materialize_intermediates: bool = True
+    # --- mega-document bounds (SURVEY §7 hard part 5) ---------------------
+    # Two per-group unbounded spots exist in the plan: the relation kernel
+    # (groupBy(doc_id, root_inst).applyInPandas loads ONE group fully into
+    # a pandas frame) and the emit collect_list (one doc's features in one
+    # aggregation buffer).  Both are bounded by these caps:
+    #   * max_doc_instances caps parsed elements per document — which also
+    #     caps features per doc, so the emit buffer is bounded by the same
+    #     knob (features <= visible instances + relation roots).
+    #   * max_relation_group_rows caps the relation kernel's INPUT rows per
+    #     (doc, root) group — the exact blow-up unit: super-relation closure
+    #     size x member rows, which can be quadratic in instances.
+    # Policy "fail" (default) raises with the offending ids — the 100 TB
+    # posture is an explicit refusal, never a task OOM; "skip" drops the
+    # oversized docs/groups from the output (in complete_feature mode a
+    # skipped doc still emits an EMPTY FeatureCollection via the sentinel
+    # path) and reports them via build_features()["skipped_docs"] /
+    # ["skipped_relation_groups"] plus a logging.warning.
+    max_doc_instances: int | None = 2_000_000
+    max_relation_group_rows: int | None = 8_000_000
+    mega_doc_policy: str = "fail"  # "fail" | "skip"
 
 
 def assemble_payload(docs: DataFrame) -> DataFrame:
@@ -98,6 +118,20 @@ def assemble_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+class MegaDocumentError(RuntimeError):
+    """A document exceeded a configured mega-document bound (``Options.
+    max_doc_instances`` / ``max_relation_group_rows``) under policy
+    ``"fail"`` — or more oversized items than the skip list is willing to
+    hold driver-side appeared under policy ``"skip"``."""
+
+
+# "skip" collects the oversized ids to the driver (to filter + report);
+# a corpus where MORE than this many items blow the cap is not a few bad
+# documents but a mis-sized cap — refuse instead of building an unbounded
+# driver-side list.
+_SKIP_LIST_BOUND = 1000
+
+
 def build_features(
     docs: DataFrame, opts: Options = Options(), scope: CacheScope | None = None
 ) -> dict:
@@ -115,6 +149,41 @@ def build_features(
         scope = _DEFAULT_SCOPE
     instances = scope.persist(parse_documents(payloads))
     instances.count()
+
+    # --- mega-document bound #1: parsed instances per document ------------
+    # One partial-agg job over the (already cached) parse output; the
+    # oversized set is tiny by construction, so collecting it is bounded.
+    skipped_docs: list[str] = []
+    if opts.max_doc_instances is not None:
+        over_docs = (
+            instances.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > opts.max_doc_instances)
+            .limit(_SKIP_LIST_BOUND + 1)
+            .collect()
+        )
+        if over_docs:
+            ids = sorted(r["doc_id"] for r in over_docs)
+            if opts.mega_doc_policy != "skip":
+                raise MegaDocumentError(
+                    f"{len(ids)} document(s) exceed max_doc_instances="
+                    f"{opts.max_doc_instances} (first: {ids[:10]}); raise the "
+                    "cap or set mega_doc_policy='skip'"
+                )
+            if len(ids) > _SKIP_LIST_BOUND:
+                raise MegaDocumentError(
+                    f"more than {_SKIP_LIST_BOUND} documents exceed "
+                    f"max_doc_instances={opts.max_doc_instances}; the cap is "
+                    "mis-sized for this corpus — refusing to skip them all"
+                )
+            skipped_docs = ids
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "mega-document skip: dropping %d document(s) over "
+                "max_doc_instances=%d (first: %s)",
+                len(ids), opts.max_doc_instances, ids[:10],
+            )
+            instances = instances.filter(~F.col("doc_id").isin(ids))
 
     graph = resolve_graph(instances, salt=opts.salt)
     live = graph["live"]
@@ -184,6 +253,57 @@ def build_features(
     )
     closure = relation_closure(roots, graph["edges"])
 
+    # --- mega-document bound #2: relation kernel group size ---------------
+    # The kernel's per-(doc, root) input is closure-size x member-rows —
+    # quadratic in instances for adversarial super-relation fan-out, so cap
+    # #1 alone does not bound it.  The EXACT group size is computable from
+    # per-relation member counts (one row per relation, map-side combined)
+    # joined to the closure — relation metadata, tiny even for mega docs.
+    # Closure gets persisted because the guard adds a second consumer.
+    skipped_groups: list[tuple[str, int]] = []
+    if opts.max_relation_group_rows is not None:
+        closure = scope.persist(closure)
+        mcounts = members.groupBy("doc_id", "rel_inst").agg(
+            F.count(F.lit(1)).alias("mn")
+        )
+        over_groups = (
+            closure.join(mcounts, ["doc_id", "rel_inst"], "left")
+            .groupBy("doc_id", "root_inst")
+            .agg(F.sum(F.coalesce(F.col("mn"), F.lit(0))).alias("g_rows"))
+            .filter(F.col("g_rows") > opts.max_relation_group_rows)
+            .limit(_SKIP_LIST_BOUND + 1)
+            .collect()
+        )
+        if over_groups:
+            keys = sorted((r["doc_id"], r["root_inst"]) for r in over_groups)
+            if opts.mega_doc_policy != "skip":
+                raise MegaDocumentError(
+                    f"{len(keys)} relation group(s) exceed "
+                    f"max_relation_group_rows={opts.max_relation_group_rows} "
+                    f"(first: {keys[:10]}); raise the cap or set "
+                    "mega_doc_policy='skip'"
+                )
+            if len(keys) > _SKIP_LIST_BOUND:
+                raise MegaDocumentError(
+                    f"more than {_SKIP_LIST_BOUND} relation groups exceed "
+                    f"max_relation_group_rows={opts.max_relation_group_rows}; "
+                    "the cap is mis-sized for this corpus"
+                )
+            skipped_groups = keys
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "mega-document skip: dropping %d relation group(s) over "
+                "max_relation_group_rows=%d (first: %s)",
+                len(keys), opts.max_relation_group_rows, keys[:10],
+            )
+            drop = F.lit(False)
+            for d, r in keys:
+                drop = drop | (
+                    (F.col("doc_id") == d) & (F.col("root_inst") == r)
+                )
+            closure = closure.filter(~drop)
+
     kernel_in = (
         closure.join(members, ["doc_id", "rel_inst"])
         .withColumnRenamed("p", "m_p")
@@ -208,6 +328,8 @@ def build_features(
         "way_features": way_feats,
         "relation_features": rel_feats,
         "features": node_feats.unionByName(way_feats).unionByName(rel_feats),
+        "skipped_docs": skipped_docs,
+        "skipped_relation_groups": skipped_groups,
     }
 
 
