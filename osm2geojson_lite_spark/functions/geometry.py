@@ -80,7 +80,11 @@ def points_inside_polygon(points: np.ndarray, polygon: np.ndarray) -> np.ndarray
     xj = np.roll(polygon[:, 0], 1)[None, :]
     yj = np.roll(polygon[:, 1], 1)[None, :]
     straddle = ((xi <= x) & (x < xj)) | ((xj <= x) & (x < xi))
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # vertical edges (xj == xi) and near-denormal dx divide to inf/NaN and
+    # can overflow in the multiply; every such lane has straddle == False
+    # (the half-open interval is empty), so the garbage lanes are masked —
+    # silence ALL fp signals rather than warn on values we discard
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         ycross = (yj - yi) * (x - xi) / (xj - xi) + yi
-    hits = straddle & (y < ycross)
+        hits = straddle & (y < ycross)
     return (hits.sum(axis=1) % 2).astype(bool)

@@ -272,6 +272,167 @@ def test_default_caps_do_not_trigger(spark):
     assert on == off
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for driving the update fn directly."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def _run_update(update, rows, state):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "simhash": [r[1] for r in rows]})
+    return list(update((0,), [pdf], state))[0]
+
+
+def test_near_dedup_scan_parity_with_python_loop():
+    """The vectorized XOR+popcount state scan must return exactly what the
+    round-3 per-fingerprint Python loop returned — same first-wins kept
+    set, same dup anchors — on a randomized workload with planted dups."""
+    import random
+
+    from osm2geojson_lite_spark.streaming.dedup import _make_near_update
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        fp = rng.getrandbits(48)
+        rows.append((f"d{i:04d}", fp))
+        if i % 7 == 0:  # planted near-dup: flip <=3 bits
+            flipped = fp
+            for b in rng.sample(range(48), rng.randint(0, 3)):
+                flipped ^= 1 << b
+            rows.append((f"p{i:04d}", flipped))
+    # include a negative int64 fingerprint (custom fingerprint_udf surface)
+    rows.append(("neg", -(1 << 62)))
+    rows.append(("negdup", -(1 << 62) ^ 0b11))
+
+    def python_loop(rows):
+        kept, out = [], {}
+        for doc_id, fp in sorted(rows):
+            dup = next((kid for kid, kfp in kept
+                        if bin(fp ^ kfp).count("1") <= 3), None)
+            if dup is None:
+                kept.append((doc_id, fp))
+            out[doc_id] = dup
+        return out
+
+    state = _FakeState()
+    got_pdf = _run_update(_make_near_update(3), rows, state)
+    got = dict(zip(got_pdf["doc_id"], got_pdf["is_duplicate_of"]))
+    got = {k: (None if v is None else v) for k, v in got.items()}
+    assert got == python_loop(rows)
+    # round-trip: state holds int64s that reconstruct the same fingerprints
+    ids, fps, n_evicted = state.get
+    assert n_evicted == 0
+    got2 = _run_update(_make_near_update(3), [("zzz", rows[0][1])], state)
+    assert got2["is_duplicate_of"].tolist() == [rows[0][0]]
+
+
+def test_near_dedup_bucket_scan_flat_at_1e5():
+    """Micro-bench (VERDICT r3 #5 acceptance): per-batch time against a
+    10^5-fingerprint bucket stays in the same order as against 10^4 —
+    the interpreted loop was ~100x slower per element and blew this bound."""
+    import random
+    import time
+
+    from osm2geojson_lite_spark.streaming.dedup import _make_near_update
+
+    rng = random.Random(11)
+
+    def batch_time(state_size: int) -> float:
+        ids = [f"s{i}" for i in range(state_size)]
+        fps = [rng.getrandbits(48) for i in range(state_size)]
+        state = _FakeState((ids, fps, 0))
+        probe = [(f"q{i}", rng.getrandbits(48)) for i in range(100)]
+        upd = _make_near_update(3)
+        t0 = time.perf_counter()
+        _run_update(upd, probe, state)
+        return time.perf_counter() - t0
+
+    batch_time(10_000)  # warm numpy
+    t_small, t_big = batch_time(10_000), batch_time(100_000)
+    # 10x the state must cost well under 30x the time (linear-with-small-
+    # constant; the Python loop costs ~10x here but with a constant ~100x
+    # larger — at 0.5s+ per 100-doc batch it fails real streams)
+    assert t_big < 1.5, f"100k-bucket batch took {t_big:.2f}s"
+    assert t_big / max(t_small, 1e-6) < 30
+
+
+def test_near_dedup_bucket_cap_evicts_fifo():
+    """max_bucket_state: the oldest anchor is evicted, the eviction is
+    counted, and the doc that matched only the evicted anchor is kept."""
+    from osm2geojson_lite_spark.streaming.dedup import _make_near_update
+
+    upd = _make_near_update(0, max_bucket_state=2)
+    state = _FakeState()
+    # distinct fingerprints (hamming > 0 apart): a, b, c -> c's arrival
+    # evicts a
+    _run_update(upd, [("a", 0b0001), ("b", 0b0110), ("c", 0b1000)], state)
+    ids, fps, n_evicted = state.get
+    assert ids == ["b", "c"]
+    assert n_evicted == 1
+    # an exact dup of the evicted anchor is now (observably) kept again
+    out = _run_update(upd, [("a2", 0b0001)], state)
+    assert out["is_duplicate_of"].tolist() == [None]
+    assert out["n_evicted"].tolist() == [2]  # a2's arrival evicted b
+
+
+def test_pass_shifts_deduplicated():
+    """ADVICE r3: rotations beyond the distinct-window count must not
+    produce duplicate passes."""
+    from osm2geojson_lite_spark.streaming.dedup import pass_shifts
+
+    s = pass_shifts(8, 6, 5)  # only 3 distinct windows exist (shifts 0..2)
+    assert len(s) == len(set(s))
+    assert set(s) <= set(range(0, 3))
+    assert pass_shifts(48, 8, 3) == [40, 20, 0]
+    assert pass_shifts(48, 8, 1) == [40]
+
+
+def test_pip_vertical_edge_no_warnings():
+    """VERDICT r3 #5: vertical edges, identical consecutive vertices, and
+    near-denormal dx must raise no numpy RuntimeWarning and must agree with
+    the scalar ray cast."""
+    import warnings
+
+    import numpy as np
+
+    from osm2geojson_lite_spark.functions.geometry import (
+        point_inside_polygon,
+        points_inside_polygon,
+    )
+
+    polygon = np.array([
+        [0.0, 0.0], [0.0, 5.0],        # vertical edge
+        [2.5, 5.0], [2.5, 5.0],        # identical consecutive vertices
+        [5.0, 5.0], [5.0 + 1e-300, 0.0],  # near-denormal dx
+        [1e308, -1e308],               # overflow-scale vertex
+    ])
+    pts = np.array([
+        [1.0, 1.0], [4.9, 0.1], [-1.0, 2.0], [2.5, 5.0], [0.0, 0.0],
+        [6.0, 6.0],
+    ])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = points_inside_polygon(pts, polygon)
+    want = [point_inside_polygon(p, polygon.tolist()) for p in pts.tolist()]
+    assert got.tolist() == want
+
+
 def test_lineage_log_backends_interchangeable(spark, tmp_path):
     """The driver-side pyarrow log writer (round-4 fixed-cost cut) must
     produce parquet that the Spark reader path parses with the identical
