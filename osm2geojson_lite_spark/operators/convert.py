@@ -342,6 +342,12 @@ def convert(
     otherwise docs whose first qualifying relation produced features yield
     that bare geometry (reference default mode, ``index.ts:220-222``).
     Both modes share one fused emit aggregation (see ``emit_geojson``).
+
+    **Output ``doc_id`` is always a string**, whatever the input column's
+    type: span assembly casts it once up front (every internal key — and
+    the lineage bucket — hashes the string form), and the emit sentinel
+    union would coerce it anyway.  Callers joining the output back to a
+    non-string source should cast their side.
     """
     parts = build_features(docs, opts, scope=scope)
     return emit_geojson(

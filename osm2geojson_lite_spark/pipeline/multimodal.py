@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -480,7 +481,20 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
                 deinter[start::step] = grid[src: src + n_rows]
                 src += n_rows
             grid = deinter
-        return ct[grid]
+        frame = ct[grid]
+        if (_l, _t, iw, ih) == (0, 0, w, h):
+            return frame
+        # spec-valid sub-frame (ADVICE r3): composite at the image
+        # descriptor's (left, top) onto the logical screen, background
+        # color under the uncovered area — the decoder previously returned
+        # the sub-image alone, losing both placement and canvas size
+        if _l + iw > w or _t + ih > h:
+            raise ValueError("GIF frame exceeds the logical screen")
+        canvas = np.zeros((h, w, 3), np.uint8)
+        if gct is not None and _bg < len(gct):
+            canvas[:] = gct[_bg]
+        canvas[_t:_t + ih, _l:_l + iw] = frame
+        return canvas
     raise ValueError("GIF stream with no image block")
 
 
@@ -685,13 +699,29 @@ def _decode_one(payload: bytes) -> dict:
     )
 
 
-def decode_media(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
+# on_error='skip' drops ONLY these: declared-unsupported codecs
+# (NotImplementedError) and corrupt payloads (malformed headers/values,
+# truncated structs, bad deflate streams, short buffers / out-of-range
+# palette indices).  A TypeError/AttributeError/etc. is a decoder BUG and
+# must fail loudly even in skip mode (ADVICE r3: the bare-Exception catch
+# let regressions hide as silently shrinking output).
+_DECODE_SKIP_ERRORS = (
+    NotImplementedError, ValueError, zlib.error, struct.error, IndexError,
+)
+
+
+def decode_media(media: DataFrame, *, on_error: str = "raise",
+                 dropped_counter=None) -> DataFrame:
     """Blob -> typed metadata by parsing bytes (real for bmp/ppm/png/wav/y4m).
 
     ``on_error='skip'`` drops undecodable blobs — unsupported codecs AND
     corrupt payloads (truncated chunks, bad deflate streams, malformed
     headers) — instead of failing the task: the 100 TB posture, where a
-    corrupt blob must not kill a partition.
+    corrupt blob must not kill a partition.  Only the declared error types
+    (`_DECODE_SKIP_ERRORS`) are skipped; decoder programming bugs raise.
+    Pass ``dropped_counter`` (a ``sparkContext.accumulator(0)``) to count
+    dropped rows — silent data loss is otherwise invisible from the
+    shrinking output alone.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
@@ -705,9 +735,11 @@ def decode_media(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
                                           pdf["payload"]):
                 try:
                     meta = _decode_one(payload)
-                except Exception:
+                except _DECODE_SKIP_ERRORS:
                     if on_error == "raise":
                         raise
+                    if dropped_counter is not None:
+                        dropped_counter.add(1)
                     continue
                 rows.append((ref, kind, meta["format"], meta["width"],
                              meta["height"], meta["n_frames"],

@@ -272,6 +272,88 @@ def test_default_caps_do_not_trigger(spark):
     assert on == off
 
 
+def _offset_gif(screen_w, screen_h, left, top, frame):
+    """Hand-built GIF89a: logical screen (screen_w, screen_h), one frame of
+    ``frame`` (h, w, 3) placed at (left, top) — the spec-valid sub-frame
+    shape the decoder previously mispositioned (ADVICE r3)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from osm2geojson_lite_spark.pipeline.multimodal import _lzw_encode
+
+    h, w, _ = frame.shape
+    colors, inverse = np.unique(frame.reshape(-1, 3), axis=0,
+                                return_inverse=True)
+    ct_bits = max(1, int(len(colors) - 1).bit_length())
+    ct = np.zeros((1 << ct_bits, 3), np.uint8)
+    ct[: len(colors)] = colors
+    min_size = max(2, ct_bits)
+    lzw = _lzw_encode(inverse.astype(np.uint8).tobytes(), min_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    bg_index = 0
+    return (b"GIF89a"
+            + _struct.pack("<HHBBB", screen_w, screen_h,
+                           0x80 | (ct_bits - 1), bg_index, 0)
+            + ct.tobytes()
+            + b"\x2C" + _struct.pack("<HHHHB", left, top, w, h, 0)
+            + bytes([min_size]) + bytes(blocks)
+            + b"\x3B")
+
+
+def test_gif_offset_frame_composited():
+    """A frame smaller than the logical screen decodes to the SCREEN size
+    with the frame at (left, top) and background color elsewhere."""
+    import numpy as np
+
+    from osm2geojson_lite_spark.pipeline.multimodal import decode_gif_pixels
+
+    frame = np.array([[[255, 0, 0], [0, 255, 0]],
+                      [[0, 0, 255], [255, 0, 0]]], np.uint8)
+    px = decode_gif_pixels(_offset_gif(5, 4, 2, 1, frame))
+    assert px.shape == (4, 5, 3)
+    assert (px[1:3, 2:4] == frame).all()
+    # background = palette[bg_index=0] (lowest color after np.unique sort)
+    bg = sorted(map(tuple, frame.reshape(-1, 3).tolist()))[0]
+    assert tuple(px[0, 0]) == bg
+    assert tuple(px[3, 4]) == bg
+    # out-of-bounds placement is corrupt, not silently cropped
+    with pytest.raises(ValueError, match="logical screen"):
+        decode_gif_pixels(_offset_gif(3, 3, 2, 2, frame))
+
+
+def test_decode_media_skip_narrow_and_counted(spark):
+    """ADVICE r3: on_error='skip' drops ONLY declared decode failures, with
+    an observable dropped count; a decoder BUG (TypeError) still raises."""
+    from osm2geojson_lite_spark.pipeline import multimodal as mm
+
+    rows = [
+        ("ok://1", "image", bytearray(mm.encode_bmp(
+            __import__("numpy").zeros((2, 2, 3), "uint8")))),
+        ("bad://1", "image", bytearray(b"GIF89a\x00")),   # truncated
+        ("bad://2", "image", bytearray(b"\x00\x01garbage")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, payload binary")
+    acc = spark.sparkContext.accumulator(0)
+    out = mm.decode_media(media, on_error="skip", dropped_counter=acc)
+    got = out.collect()
+    assert [r["media_ref"] for r in got] == ["ok://1"]
+    assert acc.value == 2
+
+    # the skip net is the declared tuple only — programming-bug exception
+    # types are NOT in it, so a decoder regression fails loudly even in
+    # skip mode (the round-3 bare-Exception catch hid them)
+    assert TypeError not in mm._DECODE_SKIP_ERRORS
+    assert AttributeError not in mm._DECODE_SKIP_ERRORS
+    assert KeyError not in mm._DECODE_SKIP_ERRORS
+
+
 class _FakeState:
     """Minimal GroupState stand-in for driving the update fn directly."""
 
