@@ -42,6 +42,20 @@ def test_fixture_parity(converted, name):
     assert normalize(got) == normalize(expected)
 
 
+@pytest.mark.parametrize("name", FIXTURES)
+def test_fixture_byte_exact(converted, name):
+    """F11 end-to-end (VERDICT r3 #7): the emitted string equals the parsed
+    golden re-serialized by the engine's canonical JS-number serializer —
+    NO normalization.  Pins compact separators, key insertion order,
+    integral-float rendering, and every coordinate's textual form for all
+    27 fixtures, not just ``relation.json``."""
+    from osm2geojson_lite_spark.functions.jsnumber import canonical_json
+
+    with open(os.path.join(EXPECTED_DIR, name + ".geojson"), encoding="utf-8") as f:
+        golden = canonical_json(json.load(f))
+    assert converted[name] == golden
+
+
 def test_first_relation_bare_geometry(spark):
     """P4 default mode: bare geometry of the first qualifying relation."""
     docs = fixture_documents(spark, DATA_DIR)
