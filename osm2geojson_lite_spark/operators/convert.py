@@ -148,13 +148,16 @@ def build_features(
         _DEFAULT_SCOPE.release()
         scope = _DEFAULT_SCOPE
     instances = scope.persist(parse_documents(payloads))
-    instances.count()
 
     # --- mega-document bound #1: parsed instances per document ------------
-    # One partial-agg job over the (already cached) parse output; the
-    # oversized set is tiny by construction, so collecting it is bounded.
+    # The guard aggregation scans every partition of the freshly persisted
+    # parse output, so it IS the cache-materialization job — one single-
+    # stage scan (no concurrent-stage race), and one fewer job barrier per
+    # conversion than a separate count() + guard pair.
     skipped_docs: list[str] = []
-    if opts.max_doc_instances is not None:
+    if opts.max_doc_instances is None:
+        instances.count()
+    else:
         over_docs = (
             instances.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > opts.max_doc_instances)

@@ -69,3 +69,56 @@ def get_spark(app_name: str = "osm2geojson-lite-spark", *, cpus: int | None = No
         )
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def wave_aligned(n: int, cores: int) -> int:
+    """Smallest multiple of ``cores`` >= ``n`` (and >= ``cores``).
+
+    A reduce stage whose partition count is not a multiple of the core
+    budget leaves the remainder of its last scheduling wave idle for the
+    stage's whole tail: 21 partitions on 32 cores idles 11 cores — that
+    alone caps a 4-executor leg at 0.66 efficiency (measured 0.574 in an
+    early cluster pair with exactly that shape).
+    """
+    if cores <= 0:
+        return max(1, n)
+    return max(1, -(-max(1, n) // cores)) * cores
+
+
+def wave_partitions(spark: SparkSession, n_rows: int | None = None, *,
+                    rows_per_partition: int = 1500,
+                    cores: int | None = None) -> int:
+    """Engine default partition count: data-sized, then wave-aligned.
+
+    Sizes partitions by ``rows_per_partition`` (fat enough to amortize
+    per-task overhead) and rounds UP to fill whole scheduling waves of the
+    cluster (``defaultParallelism`` unless ``cores`` pins a specific budget
+    — e.g. a scaling benchmark aligning BOTH legs to the larger leg for
+    plan identity).  This is the automatic form of the partition-count
+    overrides the cluster benchmarks used to pass by hand.
+    """
+    if cores is None:
+        cores = spark.sparkContext.defaultParallelism
+    if n_rows is None:
+        return cores
+    return wave_aligned(n_rows // rows_per_partition, cores)
+
+
+def prewarm_python_workers(spark: SparkSession, *, cores: int | None = None) -> None:
+    """Boot one Arrow-capable Python worker per task slot NOW.
+
+    Python workers otherwise start lazily inside the first Arrow-kernel
+    stage, serializing interpreter startup into the first data wave's
+    critical path.  One trivial ``mapInPandas`` over ``defaultParallelism``
+    single-row partitions forces every slot to spawn (and, with the default
+    ``spark.python.worker.reuse``, keep) its worker while the job is
+    otherwise idle — session setup overlaps worker startup instead of the
+    first kernel stage paying it.
+    """
+    if cores is None:
+        cores = spark.sparkContext.defaultParallelism
+    (
+        spark.range(cores).repartition(cores)
+        .mapInPandas(lambda batches: batches, schema="id long")
+        .write.format("noop").mode("overwrite").save()
+    )

@@ -32,6 +32,7 @@ def main() -> None:
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     tasks = []  # (start_ms, end_ms, stage)
     stage_names = {}
+    jobs = []  # [job_id, submit_ms, end_ms, [stage_ids]]
     for line in read_lines(path):
         try:
             e = json.loads(line)
@@ -46,6 +47,14 @@ def main() -> None:
         elif ev == "SparkListenerStageCompleted":
             si = e["Stage Info"]
             stage_names[si["Stage ID"]] = si["Number of Tasks"]
+        elif ev == "SparkListenerJobStart":
+            jobs.append([e.get("Job ID"), e.get("Submission Time", 0), None,
+                         [s.get("Stage ID") for s in e.get("Stage Infos", [])]])
+        elif ev == "SparkListenerJobEnd":
+            jid = e.get("Job ID")
+            for j in jobs:
+                if j[0] == jid:
+                    j[2] = e.get("Completion Time", 0)
     if not tasks:
         print("no tasks found")
         return
@@ -78,6 +87,28 @@ def main() -> None:
     print("top stages by core-time: (stage, core_s, n_tasks, max_task_s)")
     for sid, (cs, n, mx, _) in sorted(per_stage.items(), key=lambda kv: -kv[1][0])[:12]:
         print(f"  stage {sid:4}: {cs:7.1f}cs {n:4d} tasks, max {mx:6.2f}s")
+
+    # per-job occupancy: tasks attributed by stage id, occupancy over the
+    # job's own submit->end window — separates the dataflow's occupancy
+    # from driver-side gaps BETWEEN jobs (generation, collect, bookkeeping)
+    print("per-job occupancy: (job, wall_s, core_s, occupancy)")
+    stage_to_job = {}
+    for jid, a, b, sids in jobs:
+        for sid in sids:
+            stage_to_job[sid] = jid
+    job_core: dict = {}
+    for a, b, sid in tasks:
+        jid = stage_to_job.get(sid)
+        job_core[jid] = job_core.get(jid, 0.0) + (b - a) / 1000
+    for jid, a, b, _sids in jobs:
+        if b is None or jid not in job_core:
+            continue
+        wall = (b - a) / 1000
+        cs = job_core[jid]
+        if wall <= 0:
+            continue
+        print(f"  job {jid:3}: {wall:7.2f}s {cs:8.1f}cs "
+              f"{100 * cs / wall / budget:5.1f}%")
 
 
 if __name__ == "__main__":

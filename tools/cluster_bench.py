@@ -94,7 +94,12 @@ spark.sparkContext.setLogLevel("ERROR")
 
 # unified methodology (see tools/scaling_bench.py): data-sized partitions
 # identical at both cluster sizes; 1 warm + N measured noop-forced runs,
-# best reported; byte-identity md5 computed outside the timed region
+# best reported; byte-identity md5 computed outside the timed region.
+# Prewarm boots one Python worker per task slot BEFORE any kernel stage
+# (engine helper, round 4): worker startup overlaps setup, not the first
+# data wave.
+from osm2geojson_lite_spark.session import prewarm_python_workers
+prewarm_python_workers(spark)
 convert(generate_documents(spark, 16, partitions=8), Options(complete_feature=True)).write.format("noop").mode("overwrite").save()
 docs = generate_documents(spark, {n_docs}, partitions={input_parts}).persist()
 docs.count()
@@ -138,19 +143,24 @@ def main() -> None:
         if a == "--out":
             out_path = args[i + 1]
 
-    # Partition counts identical at both cluster sizes (plan identity), but
-    # rounded UP to a multiple of the 4N leg's 32 cores: a reduce stage with
-    # 21 shuffle partitions leaves 11 of 32 cores idle for the whole stage —
-    # that alone caps 4N efficiency at 0.66 (r2 measured 0.574 with exactly
-    # this shape).  Fat tasks are kept by growing --docs, not shrinking
-    # partition counts.
-    def round_up(n: int, m: int) -> int:
-        return ((n + m - 1) // m) * m
+    # Partition counts identical at both cluster sizes (plan identity),
+    # wave-aligned to the 4N leg's 32-core budget via the ENGINE's default
+    # sizing (session.wave_aligned — data-sized partitions rounded up to
+    # whole scheduling waves; round 4 moved this from hand-passed env
+    # overrides into the engine).  Env vars remain as explicit overrides.
+    # Shuffle stages get ~3 waves, not 1: the relation kernel's per-task
+    # skew (measured max 14.4s vs mean 3.6s in a single 32-task wave) makes
+    # a 1-wave stage's wall = its straggler; at 96 partitions the max task
+    # drops to 5.9s and in-dataflow occupancy at 4 executors clears 0.90
+    # (cluster_bench_r4.json vs _r4b.json, same throughput within noise —
+    # the robust choice for real clusters where stragglers dominate).
+    sys.path.insert(0, "/root/repo")
+    from osm2geojson_lite_spark.session import wave_aligned
 
     input_parts = int(os.environ.get(
-        "CLUSTER_BENCH_INPUT_PARTS", round_up(max(32, n_docs // 1500), 32)))
+        "CLUSTER_BENCH_INPUT_PARTS", wave_aligned(n_docs // 750, 32)))
     shuffle_parts = int(os.environ.get(
-        "CLUSTER_BENCH_SHUFFLE_PARTS", round_up(max(32, n_docs // 3000), 32)))
+        "CLUSTER_BENCH_SHUFFLE_PARTS", wave_aligned(n_docs // 500, 32)))
 
     env = dict(os.environ, SPARK_HOME=SPARK_HOME,
                SPARK_MASTER_OPTS="-Dspark.deploy.spreadOut=false",
