@@ -36,7 +36,13 @@ from osm2geojson_lite_spark.pipeline.dedup import (  # noqa: E402
     minhash_near_duplicates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    passage_dedup,
     simhash,
+)
+from osm2geojson_lite_spark.pipeline.packing import pack_sequences  # noqa: E402
+from osm2geojson_lite_spark.pipeline.quantize import (  # noqa: E402
+    quantize_embeddings,
+    quantized_topk,
 )
 from osm2geojson_lite_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk,
@@ -758,6 +764,63 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Corpus-wide first-wins passage dedup (the token-window analog of
+    CCNet/Dolma line dedup): every 8-token passage survives only at its
+    first occurrence by (doc_id, position); documents are reassembled from
+    their kept passages.  One md5-partitioned ranking shuffle + one
+    reassembly groupBy — the passage-granular sibling of dedup_exact."""
+    docs = _read(spark, sf_dir, "documents")
+    return passage_dedup(docs, window=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text", "n_windows", "n_kept",
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: documents hash-shuffled (md5 key), laid
+    end-to-end, split at 256-token boundaries -> one row per (sequence,
+    document fragment).  The global token offset is a two-phase distributed
+    prefix sum (bucket = key prefix), NOT a single-partition window; the
+    oracle replays it as one flat SQL window — identical numbers, which is
+    the correctness claim for the distributed scan."""
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256, seed=0).select(
+        "seq_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "part_idx", "tok_start", "n_toks",
+    )
+
+
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column (4x
+    smaller ANN index / shuffle bytes): scale = round(max|v|/127, 9),
+    q = clamp(floor(v/scale + 0.5), -127, 127).  Reports reconstruction
+    error and cosine fidelity per vector; all map-side, no shuffle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "qvec", "scale", "max_abs_err", "cos_fid",
+    )
+
+
+def q_ann_int8(spark, sf_dir):
+    """Exact top-k against the int8-quantized corpus (asymmetric distance:
+    full-precision queries, compressed corpus).  cos(q, qvec) equals
+    cos(q, dequant(qvec)) because the per-vector scale cancels, so the
+    quantized path never materializes floats."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = quantized_topk(queries, emb, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -848,6 +911,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "source_quota": q_source_quota,
         "embedding_neardup": q_embedding_neardup,
+        "passage_dedup": q_passage_dedup,
+        "pack_sequences": q_pack_sequences,
+        "embed_quantize": q_embed_quantize,
+        "ann_int8": q_ann_int8,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1601,6 +1668,129 @@ def oracle_sql() -> dict[str, str]:
             select a.vec_id::bigint id_a, b.vec_id::bigint id_b
             from u a join u b on a.vec_id < b.vec_id
             where round({cos_sql}, 9) >= 0.999
+        """,
+        "passage_dedup": f"""
+            with base as (select doc_id, {_TOKENS_SQL} tk from documents),
+            wins as (
+              select doc_id, w,
+                     array_to_string(
+                       list_slice(tk, (w*8+1)::int, (w*8+8)::int), ' ') wtext
+              from (select doc_id, tk,
+                           unnest(range(((len(tk) + 7) // 8)::bigint)) w
+                    from base)
+            ),
+            rk as (
+              select doc_id, w, wtext,
+                     row_number() over (partition by md5(wtext)
+                                        order by doc_id, w) rn
+              from wins
+            ),
+            agg as (
+              select doc_id,
+                     coalesce(string_agg(wtext, ' ' order by w)
+                              filter (where rn = 1), '') clean_text,
+                     count(*)::int n_windows,
+                     (count(*) filter (where rn = 1))::int n_kept
+              from rk group by doc_id
+            )
+            select b.doc_id::bigint doc_id,
+                   coalesce(a.clean_text, '') clean_text,
+                   coalesce(a.n_windows, 0)::int n_windows,
+                   coalesce(a.n_kept, 0)::int n_kept
+            from base b left join agg a using (doc_id)
+        """,
+        "pack_sequences": f"""
+            with d as (select doc_id, len({_TOKENS_SQL})::bigint n
+                       from documents),
+            k as (select doc_id, n, md5('0:' || doc_id::varchar) hk
+                  from d where n > 0),
+            o as (select doc_id, n, hk,
+                    coalesce(sum(n) over (order by hk, doc_id
+                      rows between unbounded preceding and 1 preceding),
+                      0)::bigint ofs
+                  from k),
+            e as (select doc_id, n, ofs,
+                    unnest(range((ofs // 256)::bigint,
+                                 ((ofs + n - 1) // 256 + 1)::bigint)) s,
+                    (ofs // 256)::bigint f
+                  from o)
+            select s::bigint seq_id, doc_id::bigint doc_id,
+                   (s - f)::int part_idx,
+                   greatest(s*256 - ofs, 0)::int tok_start,
+                   (least((s+1)*256, ofs+n) - greatest(s*256, ofs))::int n_toks
+            from e
+        """,
+        "embed_quantize": """
+            with s as (
+              select vec_id, embedding,
+                round(list_max(list_transform(embedding,
+                  x -> abs(x::double)))/127.0, 9) sc
+              from embeddings
+            ),
+            q as (
+              select vec_id, embedding, sc,
+                case when sc > 0 then list_transform(embedding,
+                  x -> greatest(-127.0, least(127.0,
+                         floor(x::double/sc + 0.5)))::int)
+                else list_transform(embedding, x -> 0) end qv
+              from s
+            )
+            select vec_id::bigint vec_id, qv qvec, sc scale,
+              round(list_max(list_transform(
+                generate_series(1, len(embedding)),
+                i -> abs(embedding[i]::double - qv[i]::double * sc))),
+                9) max_abs_err,
+              case when sc > 0 and
+                sqrt(list_sum(list_transform(qv,
+                  x -> x::double * x::double))) > 0
+              then round(
+                list_sum(list_transform(generate_series(1, len(embedding)),
+                  i -> embedding[i]::double * qv[i]::double)) /
+                (sqrt(list_sum(list_transform(embedding,
+                   x -> x::double * x::double))) *
+                 sqrt(list_sum(list_transform(qv,
+                   x -> x::double * x::double)))), 9)
+              else null end cos_fid
+            from q
+        """,
+        "ann_int8": """
+            with s as (
+              select vec_id,
+                round(list_max(list_transform(embedding,
+                  x -> abs(x::double)))/127.0, 9) sc
+              from embeddings
+            ),
+            qz as (
+              select e.vec_id, case when s.sc > 0
+                then list_transform(e.embedding,
+                  x -> greatest(-127.0, least(127.0,
+                         floor(x::double/s.sc + 0.5)))::int)
+                else list_transform(e.embedding, x -> 0) end qv
+              from embeddings e join s using (vec_id)
+            ),
+            qq as (select vec_id query_id, embedding fq from embeddings
+                   where vec_id < 8),
+            scored as (
+              select q.query_id, c.vec_id neighbor_id,
+                case when sqrt(list_sum(list_transform(c.qv,
+                       x -> x::double * x::double))) > 0
+                then round(
+                  list_sum(list_transform(generate_series(1, len(q.fq)),
+                    i -> q.fq[i]::double * c.qv[i]::double)) /
+                  (sqrt(list_sum(list_transform(q.fq,
+                     x -> x::double * x::double))) *
+                   sqrt(list_sum(list_transform(c.qv,
+                     x -> x::double * x::double)))), 9)
+                else -2.0 end cos
+              from qq q cross join qz c
+            )
+            select query_id::bigint query_id, neighbor_id::bigint neighbor_id,
+                   rnk::bigint rank
+            from (select query_id, neighbor_id,
+                         row_number() over (partition by query_id
+                           order by cos desc, neighbor_id asc) rnk
+                  from scored)
+            where rnk <= 5
         """,
         "tpch_q1": """
             select l_returnflag, l_linestatus,

@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "winnow_fingerprint",
     "pipeline_clean",
     "media_decode",
+    "passage_dedup",
+    "pack_sequences",
+    "embed_quantize",
+    "ann_int8",
     "tpch_q1",
     "events_hourly",
 ]

@@ -16,7 +16,7 @@ oracle reproduces signatures, buckets, and pairs exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import token_hash_col, tokens_col
 
@@ -183,6 +183,84 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     fp = agg.select("doc_id", fingerprint.alias("simhash"))
     return docs.select(F.col(id_col).alias("doc_id")).join(fp, "doc_id", "left").select(
         "doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash")
+    )
+
+
+def passage_windows_col(text: Column, window: int = 16) -> Column:
+    """Non-overlapping ``window``-token passages of the lowercased text
+    (array<string>; the trailing partial window is kept).  The corpus-level
+    unit for passage dedup — the token-stream analog of the line/paragraph
+    split used on newline-structured corpora (CCNet/Dolma-style)."""
+    toks = tokens_col(text)
+    n_win = F.floor((F.size(toks) + window - 1) / window).cast("int")
+    idx = F.sequence(F.lit(0), n_win - 1)
+    wins = F.transform(
+        idx,
+        lambda w: F.concat_ws(" ", F.slice(toks, w * window + 1, window)),
+    )
+    return F.when(F.size(toks) > 0, wins).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def passage_dedup(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", window: int = 16) -> DataFrame:
+    """Corpus-wide first-wins passage dedup: every ``window``-token passage
+    appears at most once in the whole corpus; later occurrences (by
+    ``(doc_id, window position)``) are deleted from their documents.
+
+    Output: ``(doc_id, clean_text, n_windows, n_kept)`` for every input
+    document — a fully-deduplicated document survives with empty
+    ``clean_text`` and ``n_kept = 0``, so the caller chooses the drop
+    policy.  ``clean_text`` is the kept passages re-joined in document
+    order.
+
+    Scale shape: explode to one row per passage (O(tokens/window) rows),
+    ONE shuffle partitioned by the passage's md5 for the first-occurrence
+    ranking (duplicate passages meet in one partition; the md5 key is
+    uniform so no salt is needed), one groupBy(doc) to reassemble.  This is
+    the passage-granular sibling of :func:`exact_duplicates` — same
+    hash-meet pattern, finer unit.
+    """
+    wins = docs.select(
+        F.col(id_col).alias("doc_id"),
+        passage_windows_col(F.col(text_col), window).alias("ws"),
+    )
+    exploded = wins.select(
+        "doc_id", F.size("ws").alias("n_windows"),
+        F.posexplode_outer("ws").alias("w", "wtext"),
+    ).withColumn("h", F.md5("wtext"))
+    first = Window.partitionBy("h").orderBy("doc_id", "w")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("wtext").isNotNull())
+        .withColumn("keep", F.col("rn") == 1)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("keep"),
+                               F.struct(F.col("w"), F.col("wtext"))))),
+                    lambda s: s["wtext"],
+                ),
+            ).alias("clean_text"),
+            F.max("n_windows").alias("n_windows"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        )
+        # empty docs never exploded a passage row; restore them
+        .join(wins.select("doc_id", F.size("ws").alias("nw0")), "doc_id",
+              "right")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_windows", F.col("nw0")).cast("int")
+            .alias("n_windows"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        )
     )
 
 

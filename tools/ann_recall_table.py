@@ -61,7 +61,8 @@ def main() -> None:
             return float(row["r"])
 
         p = {"lsh_by_code_bits": {}, "lsh_multi": {}, "ivf_by_n_probe": {},
-             "ivf_kmeans_by_n_probe": {}, "ivf_kmeans_spill2_by_n_probe": {}}
+             "ivf_spill2_by_n_probe": {}, "ivf_kmeans_by_n_probe": {},
+             "ivf_kmeans_spill2_by_n_probe": {}}
         for code_bits in (8, 12, 16):
             p["lsh_by_code_bits"][code_bits] = mr(
                 sign_lsh_topk(queries, emb, k=K, code_bits=code_bits))
@@ -74,6 +75,12 @@ def main() -> None:
         for n_probe in (1, 2, 4, 8):
             p["ivf_by_n_probe"][n_probe] = mr(
                 ivf_topk(queries, emb, k=K, n_centroids=16, n_probe=n_probe))
+            # config-matched baseline (r4): lowest-id WITH the same spill as
+            # the spilled k-means row, so trained-vs-untrained is compared
+            # at identical index size / probe budget
+            p["ivf_spill2_by_n_probe"][n_probe] = mr(
+                ivf_topk(queries, emb, k=K, n_centroids=16, n_probe=n_probe,
+                         spill=2))
             p["ivf_kmeans_by_n_probe"][n_probe] = mr(
                 ivf_topk(queries, emb, k=K, n_probe=n_probe, centroids=cents))
             p["ivf_kmeans_spill2_by_n_probe"][n_probe] = mr(
