@@ -59,6 +59,7 @@ from osm2geojson_lite_spark.pipeline.text import (  # noqa: E402
     doc_fingerprint,
     language_id,
     quality_counts,
+    repetition_stats,
     token_counts,
     winnowing_fingerprints,
 )
@@ -821,6 +822,20 @@ def q_ann_int8(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1.1):
+    per-doc duplicate-line character fraction, most-frequent-2-gram
+    fraction, duplicate-2-gram fraction.  Explode -> groupBy(doc, unit)
+    with map-side partial agg (shuffle carries distinct units only) ->
+    groupBy(doc); no in-row quadratic counting, no UDF."""
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_lines", "dup_line_frac", "n_ngrams",
+        "top_ngram_frac", "dup_ngram_frac",
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -915,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "embed_quantize": q_embed_quantize,
         "ann_int8": q_ann_int8,
+        "repetition_stats": q_repetition_stats,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1791,6 +1807,53 @@ def oracle_sql() -> dict[str, str]:
                            order by cos desc, neighbor_id asc) rnk
                   from scored)
             where rnk <= 5
+        """,
+        "repetition_stats": f"""
+            with base as (select doc_id, text, {_TOKENS_SQL} tk
+                          from documents),
+            lc as (
+              select doc_id, line, count(*) c
+              from (select doc_id,
+                           unnest(string_split(text, chr(10))) line
+                    from base)
+              group by doc_id, line
+            ),
+            ls as (
+              select doc_id, sum(c)::int n_lines,
+                     sum(case when c > 1 then c * len(line)
+                         else 0 end)::bigint dup_chars,
+                     sum(c * len(line))::bigint tot_chars
+              from lc group by doc_id
+            ),
+            gc as (
+              select doc_id, g, count(*) c
+              from (select doc_id,
+                      unnest(case when len(tk) >= 2
+                        then list_transform(range(len(tk) - 1),
+                               i -> tk[(i+1)::int] || ' ' || tk[(i+2)::int])
+                        else [] end) g
+                    from base)
+              group by doc_id, g
+            ),
+            gs as (
+              select doc_id, sum(c)::int n_ngrams, max(c)::bigint top_c,
+                     sum(case when c > 1 then c else 0 end)::bigint dup_c
+              from gc group by doc_id
+            )
+            select b.doc_id::bigint doc_id, ls.n_lines,
+                   case when ls.tot_chars > 0
+                     then round(ls.dup_chars / ls.tot_chars, 9)
+                   end dup_line_frac,
+                   coalesce(gs.n_ngrams, 0) n_ngrams,
+                   case when gs.n_ngrams > 0
+                     then round(gs.top_c / gs.n_ngrams, 9)
+                   end top_ngram_frac,
+                   case when gs.n_ngrams > 0
+                     then round(gs.dup_c / gs.n_ngrams, 9)
+                   end dup_ngram_frac
+            from base b
+            join ls using (doc_id)
+            left join gs using (doc_id)
         """,
         "tpch_q1": """
             select l_returnflag, l_linestatus,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "embed_quantize",
     "ann_int8",
+    "repetition_stats",
     "tpch_q1",
     "events_hourly",
 ]

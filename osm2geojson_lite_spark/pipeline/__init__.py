@@ -39,6 +39,7 @@ from .text import (
     doc_fingerprint,
     language_id,
     quality_counts,
+    repetition_stats,
     token_counts,
     token_hash_col,
     winnowing_fingerprints,
@@ -62,6 +63,7 @@ __all__ = [
     "doc_fingerprint",
     "language_id",
     "quality_counts",
+    "repetition_stats",
     "token_counts",
     "token_hash_col",
     "winnowing_fingerprints",

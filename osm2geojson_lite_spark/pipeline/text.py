@@ -181,3 +181,79 @@ def winnowing_fingerprints(docs: DataFrame, *, id_col: str = "doc_id",
         F.size("grams") < w, F.array(F.array_min("grams"))
     ).otherwise(F.array_sort(F.array_distinct(windows)))
     return with_grams.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1): how much of the document is the same line or the same
+    token ``n``-gram said again.
+
+    Output columns (fractions rounded to 9 dp, NULL when the denominator
+    is zero, so cross-engine comparison is exact):
+
+    - ``n_lines``            — ``\\n``-split line count;
+    - ``dup_line_frac``      — fraction of line *characters* living in
+      lines that occur more than once (all copies counted, the Gopher
+      "fraction of characters in duplicate lines");
+    - ``n_ngrams``           — token ``n``-gram occurrences
+      (``max(n_tokens - n + 1, 0)`` over lowercased whitespace tokens);
+    - ``top_ngram_frac``     — occurrences of the single most frequent
+      ``n``-gram / ``n_ngrams`` ("fraction in most common n-gram");
+    - ``dup_ngram_frac``     — occurrences of ``n``-grams seen more than
+      once / ``n_ngrams`` ("fraction in duplicate n-grams").
+
+    Scale shape: both signals are explode → ``groupBy(doc, unit)`` with
+    map-side partial aggregation (shuffle carries one row per *distinct*
+    unit per doc) → ``groupBy(doc)``; the two branches re-meet on a
+    doc-partitioned join, co-partitioned because both just aggregated on
+    ``doc_id``.  No in-row O(len²) HOF counting, no UDF, nothing driver-
+    side — a mega-document costs its token count, not its square.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+
+    lines = base.select(
+        "doc_id", F.explode(F.split("t", "\n")).alias("line"))
+    line_stats = (
+        lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("int").alias("n_lines"),
+            F.sum(F.when(F.col("c") > 1,
+                         F.col("c") * F.length("line"))
+                  .otherwise(F.lit(0))).alias("dup_chars"),
+            F.sum(F.col("c") * F.length("line")).alias("tot_chars"),
+        )
+    )
+
+    toks = tokens_col(F.col("t"))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                   for j in range(n)])),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_stats = (
+        base.select("doc_id", F.explode_outer(grams).alias("g"))
+        .groupBy("doc_id", "g").agg(
+            F.count(F.col("g")).alias("c"))  # count(col) skips the NULL row
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("int").alias("n_ngrams"),
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .alias("dup_c"),
+        )
+    )
+
+    frac = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.round(F.col(num) / F.col(den), 9))
+    return line_stats.join(gram_stats, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        frac("dup_chars", "tot_chars").alias("dup_line_frac"),
+        F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+        frac("top_c", "n_ngrams").alias("top_ngram_frac"),
+        frac("dup_c", "n_ngrams").alias("dup_ngram_frac"),
+    )

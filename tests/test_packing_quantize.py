@@ -227,3 +227,78 @@ def test_passage_dedup_invariant_under_partitioning(documents):
     got = {tuple(r) for r in
            passage_dedup(documents.repartition(13), window=8).collect()}
     assert got == base
+
+
+# -------------------------------------------------------- repetition stats
+
+def _rep_oracle(docs_py, n=2):
+    out = {}
+    for doc_id, text in docs_py:
+        lines = text.split("\n")
+        from collections import Counter
+        lc = Counter(lines)
+        tot_chars = sum(len(l) for l in lines)
+        dup_chars = sum(len(l) for l in lines if lc[l] > 1)
+        toks = _tokens(text)
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        gc = Counter(grams)
+        n_ngrams = len(grams)
+        out[doc_id] = (
+            len(lines),
+            round(dup_chars / tot_chars, 9) if tot_chars else None,
+            n_ngrams,
+            round(max(gc.values()) / n_ngrams, 9) if n_ngrams else None,
+            round(sum(c for c in gc.values() if c > 1) / n_ngrams, 9)
+            if n_ngrams else None,
+        )
+    return out
+
+
+def test_repetition_stats_matches_oracle(documents):
+    from osm2geojson_lite_spark.pipeline.text import repetition_stats
+    docs_py = [(str(r["doc_id"]), r["text"]) for r in documents.collect()]
+    exp = _rep_oracle(docs_py)
+    got = {str(r["doc_id"]): (r["n_lines"], r["dup_line_frac"], r["n_ngrams"],
+                              r["top_ngram_frac"], r["dup_ngram_frac"])
+           for r in repetition_stats(documents, n=2).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        for g, e in zip(got[k], exp[k]):
+            if isinstance(e, float):
+                assert g == pytest.approx(e, abs=1e-9), (k, got[k], exp[k])
+            else:
+                assert g == e, (k, got[k], exp[k])
+
+
+def test_repetition_stats_planted(spark):
+    from osm2geojson_lite_spark.pipeline.text import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "aa bb\ncc\naa bb\ndd"),   # "aa bb" line duplicated
+         (2, "x y x y x y"),            # "x y" 3 of 5 grams, "y x" 2 of 5
+         (3, "all words differ here"),
+         (4, ""),                       # one empty line, no grams
+         (5, "solo")],                  # 1 token -> no 2-grams
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == pytest.approx(10 / 14, abs=1e-9)
+    r2 = got[2]
+    assert r2["n_ngrams"] == 5
+    assert r2["top_ngram_frac"] == pytest.approx(3 / 5)
+    assert r2["dup_ngram_frac"] == pytest.approx(1.0)
+    assert got[3]["dup_ngram_frac"] == pytest.approx(0.0)
+    assert got[3]["dup_line_frac"] == pytest.approx(0.0)
+    r4 = got[4]
+    assert (r4["n_lines"], r4["n_ngrams"]) == (1, 0)
+    assert r4["dup_line_frac"] is None and r4["top_ngram_frac"] is None
+    r5 = got[5]
+    assert r5["n_ngrams"] == 0 and r5["dup_ngram_frac"] is None
+
+
+def test_repetition_stats_invariant_under_partitioning(documents):
+    from osm2geojson_lite_spark.pipeline.text import repetition_stats
+    base = {tuple(r) for r in repetition_stats(documents).collect()}
+    got = {tuple(r) for r in
+           repetition_stats(documents.repartition(11)).collect()}
+    assert got == base
