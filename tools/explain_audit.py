@@ -35,6 +35,16 @@ CHECKS = {
     # codegen ids are not rendered in pre-execution AQE formatted plans
     "tpch_q1": ["PushedFilters", "HashAggregate"],
     "winnow_fingerprint": ["ReadSchema"],
+    # first-occurrence ranking rides ONE hash-partitioned Window shuffle
+    "passage_dedup": ["Window", "HashAggregate"],
+    # two-phase prefix sum: per-bucket Window + broadcast offset join-back
+    "pack_sequences": ["Window", "BroadcastHashJoin"],
+    # map-side only: a projection over the parquet scan, no Exchange
+    "embed_quantize": ["ReadSchema"],
+    # broadcast queries x quantized corpus, like ann_topk
+    "ann_int8": ["BroadcastNestedLoopJoin"],
+    # partial+final aggs for line/ngram counting branches
+    "repetition_stats": ["HashAggregate"],
 }
 
 
