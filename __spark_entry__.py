@@ -6,7 +6,7 @@ full conversion pipeline -> GeoJSON per document.
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
 SURVEY.md §2 (+ §2.8 extensions and the training-pipeline ops).  Every
 hash/coordinate derivation is md5- or rational-arithmetic-based so the
-DuckDB oracle reproduces values bit-for-bit.  All 35 queries carry an
+DuckDB oracle reproduces values bit-for-bit.  All 46 queries carry an
 oracle: ``osm_convert_corpus`` pins against a committed golden
 ``(doc_id, n_features, geojson_md5)`` table for the seed-42 corpus
 (tests/golden/, regenerated only via tools/gen_convert_golden.py);
@@ -43,6 +43,13 @@ from osm2geojson_lite_spark.pipeline.packing import pack_sequences  # noqa: E402
 from osm2geojson_lite_spark.pipeline.quantize import (  # noqa: E402
     quantize_embeddings,
     quantized_topk,
+)
+from osm2geojson_lite_spark.pipeline.scrub import (  # noqa: E402
+    EMAIL_RE,
+    IP_RE,
+    PHONE_RE,
+    decontaminate,
+    pii_scrub,
 )
 from osm2geojson_lite_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk,
@@ -836,6 +843,62 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """Documents with deterministic planted PII (the synthetic corpus has
+    none): email when doc_id%3==0, IPv4 when %4==0, phone when %5==0 —
+    built from the same arithmetic in Spark and the DuckDB oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"),
+                F.lit(".17"))).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" call +1 (555) 01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-44"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Dolma/CCNet-style PII redaction: emails, IPv4s, phones counted on
+    the original text and replaced with typed tokens.  Pure
+    regexp_replace/regexp_extract_all projection — map-side only, zero
+    shuffle; the patterns are Java-regex/RE2-portable by construction so
+    DuckDB replays the redaction byte-for-byte."""
+    return pii_scrub(_pii_augmented_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_ips").cast("int").alias("n_ips"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination (Brown et al. 2020 app. C):
+    flag training docs sharing a token 8-gram with a held-out benchmark
+    (every doc_id%17==3 doc stands in for the benchmark).  Benchmark gram
+    set is aggregated once and BROADCAST; the corpus explodes per-doc
+    distinct grams map-side and re-aggregates by doc_id — the corpus is
+    never shuffled by gram."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3).select("text")
+    return decontaminate(docs, bench, n=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_doc_grams").cast("int").alias("n_doc_grams"),
+        F.col("n_overlap_grams").cast("int").alias("n_overlap_grams"),
+        "contaminated",
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -931,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "ann_int8": q_ann_int8,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1854,6 +1919,64 @@ def oracle_sql() -> dict[str, str]:
             from base b
             join ls using (doc_id)
             left join gs using (doc_id)
+        """,
+        "pii_scrub": f"""
+            with aug as (
+              select doc_id,
+                text
+                || case when doc_id % 3 = 0
+                   then ' contact user' || doc_id::varchar || '@example.com'
+                   else '' end
+                || case when doc_id % 4 = 0
+                   then ' from 10.0.' || (doc_id % 256)::varchar || '.17'
+                   else '' end
+                || case when doc_id % 5 = 0
+                   then ' call +1 (555) 01'
+                        || lpad((doc_id % 100)::varchar, 2, '0') || '-44'
+                   else '' end
+                as text
+              from documents
+            )
+            select doc_id::bigint doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{IP_RE}', '<IP>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g') clean_text,
+                   len(regexp_extract_all(text, '{EMAIL_RE}'))::int n_emails,
+                   len(regexp_extract_all(text, '{IP_RE}'))::int n_ips,
+                   len(regexp_extract_all(text, '{PHONE_RE}'))::int n_phones
+            from aug
+        """,
+        "decontaminate": f"""
+            with tk as (select doc_id, {_TOKENS_SQL} tk from documents),
+            grams as (
+              select doc_id,
+                     list_distinct([
+                       ('0x' || substr(md5(array_to_string(
+                          list_slice(tk, i, i + 7), ' ')), 1, 15))::bigint
+                       for i in generate_series(
+                         1, greatest(len(tk) - 7, 0))]) g
+              from tk
+            ),
+            bg as (
+              select distinct unnest(g) gram
+              from grams where doc_id % 17 = 3
+            ),
+            dg as (
+              select doc_id, len(g) n_doc_grams, unnest(g) gram
+              from grams
+            ),
+            hits as (
+              select d.doc_id, max(d.n_doc_grams) n_doc_grams,
+                     count(b.gram)::int n_overlap
+              from dg d left join bg b using (gram)
+              group by d.doc_id
+            )
+            select t.doc_id::bigint doc_id,
+                   coalesce(h.n_doc_grams, 0)::int n_doc_grams,
+                   coalesce(h.n_overlap, 0)::int n_overlap_grams,
+                   coalesce(h.n_overlap, 0) > 0 contaminated
+            from tk t left join hits h using (doc_id)
         """,
         "tpch_q1": """
             select l_returnflag, l_linestatus,

@@ -35,6 +35,7 @@ from .similarity import (
     sign_lsh_topk,
 )
 from .compose import clean_corpus
+from .scrub import decontaminate, pii_scrub
 from .text import (
     doc_fingerprint,
     language_id,
@@ -47,6 +48,8 @@ from .text import (
 
 __all__ = [
     "clean_corpus",
+    "decontaminate",
+    "pii_scrub",
     "exact_duplicates",
     "minhash_near_duplicates",
     "minhash_signatures",
