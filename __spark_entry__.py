@@ -44,6 +44,9 @@ from osm2geojson_lite_spark.pipeline.quantize import (  # noqa: E402
     quantize_embeddings,
     quantized_topk,
 )
+from osm2geojson_lite_spark.pipeline.cluster import (  # noqa: E402
+    near_dup_clusters,
+)
 from osm2geojson_lite_spark.pipeline.scrub import (  # noqa: E402
     EMAIL_RE,
     IP_RE,
@@ -899,6 +902,21 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> canonical pick: the step
+    between "these docs are pairwise similar" and "keep one per page".
+    Components via alternating large-star/small-star (Kiveris et al. 2014)
+    — O(log n) distributed rounds, two shuffles each, no driver data; the
+    oracle replays the same components with a recursive min-label CTE."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return near_dup_clusters(docs, threshold=0.5).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -996,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1977,6 +1996,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_overlap, 0)::int n_overlap_grams,
                    coalesce(h.n_overlap, 0) > 0 contaminated
             from tk t left join hits h using (doc_id)
+        """,
+        "dedup_clusters": f"""
+            with recursive
+            src as ({near_dup_src}),
+            sh as (
+              select doc_id, {_SHINGLE_SQL} sh
+              from (select doc_id, {_TOKENS_SQL} tk from src)
+            ),
+            nonempty as (select * from sh where len(sh) > 0),
+            pairs as (
+              select a.doc_id::bigint id_a, b.doc_id::bigint id_b
+              from nonempty a join nonempty b on a.doc_id < b.doc_id
+              where len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh)))::double
+                    >= 0.5
+            ),
+            nodes as (select doc_id::bigint n from src),
+            edges as (
+              select id_a u, id_b v from pairs
+              union
+              select id_b, id_a from pairs
+            ),
+            cc as (
+              select n, n as comp from nodes
+              union
+              select e.v as n, c.comp from cc c join edges e on e.u = c.n
+            ),
+            comp as (select n doc_id, min(comp) cluster_id from cc group by n),
+            sizes as (
+              select cluster_id, count(*)::int cluster_size
+              from comp group by cluster_id
+            )
+            select c.doc_id, c.cluster_id, s.cluster_size,
+                   c.doc_id = c.cluster_id as is_canonical
+            from comp c join sizes s using (cluster_id)
         """,
         "tpch_q1": """
             select l_returnflag, l_linestatus,

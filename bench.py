@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "embed_quantize",
     "ann_int8",
     "repetition_stats",
+    "pii_scrub",
+    "decontaminate",
+    "dedup_clusters",
     "tpch_q1",
     "events_hourly",
 ]

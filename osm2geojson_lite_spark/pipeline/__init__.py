@@ -34,6 +34,7 @@ from .similarity import (
     sign_lsh_multi_topk,
     sign_lsh_topk,
 )
+from .cluster import connected_components, near_dup_clusters
 from .compose import clean_corpus
 from .scrub import decontaminate, pii_scrub
 from .text import (
@@ -48,7 +49,9 @@ from .text import (
 
 __all__ = [
     "clean_corpus",
+    "connected_components",
     "decontaminate",
+    "near_dup_clusters",
     "pii_scrub",
     "exact_duplicates",
     "minhash_near_duplicates",
