@@ -45,6 +45,13 @@ CHECKS = {
     "ann_int8": ["BroadcastNestedLoopJoin"],
     # partial+final aggs for line/ngram counting branches
     "repetition_stats": ["HashAggregate"],
+    # map-side only: regexp projection over the parquet scan, no Exchange
+    "pii_scrub": ["ReadSchema"],
+    # benchmark gram set is broadcast; corpus re-aggregates by doc_id
+    "decontaminate": ["BroadcastHashJoin", "HashAggregate"],
+    # cluster sizes ride a hash agg; CC rounds are pre-materialized
+    # (localCheckpoint) so the final plan is agg + join over the star forest
+    "dedup_clusters": ["HashAggregate"],
 }
 
 
