@@ -37,7 +37,12 @@ from osm2geojson_lite_spark.pipeline.dedup import (  # noqa: E402
     minhash_signatures,
     ngram_jaccard_pairs,
     passage_dedup,
+    shared_token_runs,
     simhash,
+)
+from osm2geojson_lite_spark.pipeline.search import (  # noqa: E402
+    bm25_topk,
+    ngram_topk,
 )
 from osm2geojson_lite_spark.pipeline.packing import pack_sequences  # noqa: E402
 from osm2geojson_lite_spark.pipeline.quantize import (  # noqa: E402
@@ -56,8 +61,10 @@ from osm2geojson_lite_spark.pipeline.scrub import (  # noqa: E402
 )
 from osm2geojson_lite_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk,
+    cluster_sizes,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_assign,
     kmeans_centroids,
     recall_at_k,
     sign_lsh_multi_topk,
@@ -917,6 +924,94 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+# the planted boilerplate span for q_shared_spans: 24 synthetic tokens that
+# never occur in the generated corpus text, appended to every doc_id%20==1
+# document by both the Spark query and the DuckDB oracle
+SHARED_SPAN_TOKENS = " ".join(f"sp{i}" for i in range(24))
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword top-10 over the documents table via a real inverted-index
+    plan: one corpus shuffle for (doc, term) tf, tiny broadcast sides for
+    df/N/avgdl, query terms broadcast onto the index.  The query panel is
+    derived from the corpus itself (first 6 tokens of four fixed docs) so
+    both engines build identical queries.  Scores are bit-deterministic:
+    9dp-rounded idf and contributions summed in ascending sorted order
+    (`aggregate(array_sort(collect_list(c)))` == `list_reduce(list_sort)`),
+    final round to 6dp, doc_id rank tiebreak."""
+    docs = _read(spark, sf_dir, "documents")
+    from osm2geojson_lite_spark.pipeline.text import tokens_col
+
+    qpanel = docs.filter(F.col("doc_id").isin(3, 17, 101, 202)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_col(F.col("text")), 1, 6), " ").alias(
+            "query_text"
+        ),
+    )
+    out = bm25_topk(qpanel, docs, k=10)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "score",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-wide most frequent token 2-grams (the boilerplate signal):
+    explode -> groupBy(gram, doc) map-side partial -> groupBy(gram) ->
+    TakeOrdered top-20 (per-partition heaps, no global sort)."""
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_topk(docs, n=2, top=20).select(
+        "gram",
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_shared_spans(spark, sf_dir):
+    """Exact shared-substring detection (Lee et al. 2022 reformulated as
+    gram-diagonal run detection): pairs sharing >= 16 consecutive tokens,
+    with the max run length.  A 24-token boilerplate span is planted on
+    every doc_id%20==1 document (the corpus has no natural 16-token runs),
+    deterministically replayed by the oracle.  Blocked self-join on the
+    gram hash — linear in true overlap, never all-pairs."""
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 1,
+            F.concat(F.col("text"), F.lit(" " + SHARED_SPAN_TOKENS)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = shared_token_runs(planted, gram=8, min_tokens=16)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"),
+        F.col("max_run_tokens").cast("bigint").alias("max_run_tokens"),
+    )
+
+
+def q_embed_clusters(spark, sf_dir):
+    """Corpus clustering: every embedding labeled with its nearest trained
+    k-means centroid (map-side literal assignment — zero shuffle for the
+    corpus-sized part) plus the cluster size.  The oracle replays the
+    assignment against the committed golden centroid table, so engine
+    training drift fails the gate through the labels it produces."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=20,
+                             sample_size=512, seed=0)
+    asg = kmeans_assign(emb, cents)
+    sizes = cluster_sizes(asg)
+    return asg.join(F.broadcast(sizes), "cid").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cid").cast("int").alias("cid"),
+        "cos",
+        F.col("n_vecs").cast("bigint").alias("cluster_n"),
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -1015,6 +1110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
+        "bm25_search": q_bm25_search,
+        "ngram_topk": q_ngram_topk,
+        "shared_spans": q_shared_spans,
+        "embed_clusters": q_embed_clusters,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -2031,6 +2130,123 @@ def oracle_sql() -> dict[str, str]:
             select c.doc_id, c.cluster_id, s.cluster_size,
                    c.doc_id = c.cluster_id as is_canonical
             from comp c join sizes s using (cluster_id)
+        """,
+        "bm25_search": f"""
+            with tk as (select doc_id, {_TOKENS_SQL} tk from documents),
+            q as (
+              select doc_id query_id,
+                     array_to_string(list_slice(tk, 1, 6), ' ') qt
+              from tk where doc_id in (3, 17, 101, 202)
+            ),
+            qt as (
+              select query_id,
+                     unnest(list_distinct(list_filter(
+                       string_split(lower(qt), ' '), x -> x <> ''))) term
+              from q
+            ),
+            tf as (
+              select doc_id, term, count(*) tf, max(dl) dl
+              from (select doc_id, len(tk) dl, unnest(tk) term from tk)
+              group by doc_id, term
+            ),
+            dfq as (select term, count(*) df from tf group by term),
+            g as (select count(*) n_docs, avg(len(tk)) avgdl from tk),
+            m as (
+              select q.query_id, t.doc_id,
+                     round(
+                       round(ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5)), 9)
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / g.avgdl)),
+                     9) c
+              from qt q join tf t using (term) join dfq d using (term)
+              cross join g
+            ),
+            s as (
+              select query_id, doc_id,
+                     round(list_reduce(
+                       list_prepend(0.0::double, list_sort(list(c))),
+                       (x, y) -> x + y), 6) score
+              from m group by query_id, doc_id
+            )
+            select query_id::bigint query_id, doc_id::bigint doc_id,
+                   score, rnk::bigint rank
+            from (select s.*, row_number() over (partition by query_id
+                    order by score desc, doc_id) rnk from s)
+            where rnk <= 10
+        """,
+        "ngram_topk": f"""
+            with tk as (select doc_id, {_TOKENS_SQL} tk from documents),
+            gr as (
+              select doc_id,
+                     unnest(case when len(tk) >= 2
+                       then list_transform(range(len(tk) - 1),
+                              i -> tk[(i+1)::int] || ' ' || tk[(i+2)::int])
+                       else [] end) gram
+              from tk
+            ),
+            pd as (select gram, doc_id, count(*) c from gr group by gram, doc_id),
+            tot as (
+              select gram, sum(c)::bigint n_occurrences,
+                     count(*)::bigint n_docs
+              from pd group by gram
+            )
+            select gram, n_occurrences, n_docs
+            from tot order by n_occurrences desc, gram limit 20
+        """,
+        "shared_spans": f"""
+            with aug as (
+              select doc_id,
+                     text || case when doc_id % 20 = 1
+                       then ' {SHARED_SPAN_TOKENS}' else '' end as text
+              from documents
+            ),
+            tk as (select doc_id, {_TOKENS_SQL} tk from aug),
+            g as (
+              select doc_id,
+                     unnest(generate_series(0, len(tk) - 8)) pos,
+                     unnest(list_transform(generate_series(0, len(tk) - 8),
+                       i -> ('0x' || substr(md5(array_to_string(
+                              list_slice(tk, i + 1, i + 8), ' ')), 1, 15))
+                            ::bigint)) h
+              from tk where len(tk) >= 8
+            ),
+            m as (
+              select a.doc_id id_a, b.doc_id id_b, a.pos pa, a.pos - b.pos diag
+              from g a join g b on a.h = b.h and a.doc_id < b.doc_id
+            ),
+            isl as (
+              select id_a, id_b, diag, pa,
+                     pa - row_number() over (partition by id_a, id_b, diag
+                                             order by pa) island
+              from m
+            ),
+            runs as (
+              select id_a, id_b, diag, island, count(*) run_grams
+              from isl group by id_a, id_b, diag, island
+            )
+            select id_a::bigint id_a, id_b::bigint id_b,
+                   sum(run_grams)::bigint n_shared_grams,
+                   (max(run_grams) + 7)::bigint max_run_tokens
+            from runs group by id_a, id_b
+            having max(run_grams) + 7 >= 16
+        """,
+        "embed_clusters": f"""
+            with cent as (select cid, cv from (values {kcent_values}) t(cid, cv)),
+            sc as (
+              select v.vec_id, c.cid,
+                     round({_cos2('v.embedding', 'c.cv')}, 9) cos
+              from embeddings v cross join cent c
+            ),
+            asg as (
+              select vec_id, cid, cos from (
+                select sc.*, row_number() over (partition by vec_id
+                         order by cos desc, cid asc) rn
+                from sc
+              ) where rn = 1
+            ),
+            sz as (select cid, count(*)::bigint cluster_n from asg group by cid)
+            select a.vec_id::bigint vec_id, a.cid::int cid, a.cos, s.cluster_n
+            from asg a join sz s using (cid)
         """,
         "tpch_q1": """
             select l_returnflag, l_linestatus,

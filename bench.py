@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "pii_scrub",
     "decontaminate",
     "dedup_clusters",
+    "bm25_search",
+    "ngram_topk",
+    "shared_spans",
+    "embed_clusters",
     "tpch_q1",
     "events_hourly",
 ]

@@ -22,13 +22,17 @@ from .dedup import (
     minhash_near_duplicates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shared_token_runs,
     shingles_col,
     simhash,
 )
+from .search import bm25_topk, corpus_term_stats, ngram_topk
 from .similarity import (
     brute_force_topk,
+    cluster_sizes,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_assign,
     kmeans_centroids,
     recall_at_k,
     sign_lsh_multi_topk,
@@ -57,11 +61,17 @@ __all__ = [
     "minhash_near_duplicates",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "shared_token_runs",
     "shingles_col",
     "simhash",
+    "bm25_topk",
+    "corpus_term_stats",
+    "ngram_topk",
     "brute_force_topk",
+    "cluster_sizes",
     "embedding_near_duplicates",
     "ivf_topk",
+    "kmeans_assign",
     "kmeans_centroids",
     "recall_at_k",
     "sign_lsh_multi_topk",

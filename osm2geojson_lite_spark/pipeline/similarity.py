@@ -372,6 +372,38 @@ def _assign_cid(corpus: DataFrame, cents: list[list[float]], *,
     )
 
 
+def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Embedding clustering: assign every vector to its nearest centroid —
+    (vec_id, cid, cos), cosine rounded to 9 dp, lowest centroid id on ties.
+
+    The topic-clustering / corpus-partitioning primitive: run
+    :func:`kmeans_centroids` once offline, then this assignment labels the
+    whole corpus **map-side** (centroids inlined as literals — no shuffle,
+    no UDF, a pure projection Catalyst pipelines into the scan).  At 100 TB
+    the output ``cid`` becomes the table's partition key, giving
+    cluster-local downstream work (per-topic sampling, per-cluster dedup,
+    curriculum mixes) partition pruning for free.
+    """
+    cents = [[float(x) for x in cv] for cv in centroids]
+    cent_structs = _centroid_scorer(cents)
+    best = F.array_max(
+        cent_structs(F.col("_v"), F.col("_vnorm"))
+    )
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_vnorm", _norm(F.col("_v")))
+        .select("vec_id", best["cid"].alias("cid"), best["cos"].alias("cos"))
+    )
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """Per-cluster membership counts (cid, n_vecs) from a
+    :func:`kmeans_assign` output — one map-side-combined groupBy."""
+    return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
              n_centroids: int = 16, n_probe: int = 4,
              query_id: str = "query_id", corpus_id: str = "vec_id",

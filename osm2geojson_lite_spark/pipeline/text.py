@@ -226,16 +226,19 @@ def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
         )
     )
 
-    toks = tokens_col(F.col("t"))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    # materialize the token array before the gram lambda — inlining it
+    # re-splits the text once per element_at (measured 6x slower)
+    tc = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(tc) - n)
     grams = F.when(
-        F.size(toks) >= n,
+        F.size(tc) >= n,
         F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+            " ", *[F.element_at(tc, (i + j + 1).cast("int"))
                    for j in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
     gram_stats = (
-        base.select("doc_id", F.explode_outer(grams).alias("g"))
+        base.select("doc_id", tokens_col(F.col("t")).alias("toks"))
+        .select("doc_id", F.explode_outer(grams).alias("g"))
         .groupBy("doc_id", "g").agg(
             F.count(F.col("g")).alias("c"))  # count(col) skips the NULL row
         .groupBy("doc_id")
