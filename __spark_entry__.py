@@ -932,8 +932,10 @@ SHARED_SPAN_TOKENS = " ".join(f"sp{i}" for i in range(24))
 
 def q_bm25_search(spark, sf_dir):
     """BM25 keyword top-10 over the documents table via a real inverted-index
-    plan: one corpus shuffle for (doc, term) tf, tiny broadcast sides for
-    df/N/avgdl, query terms broadcast onto the index.  The query panel is
+    plan: the distinct query-term set is broadcast onto the exploded corpus
+    tokens BEFORE any aggregation, so the corpus is never shuffled — only
+    matching (doc, query-term) rows enter the tf shuffle; df/N/avgdl are
+    tiny broadcast sides.  The query panel is
     derived from the corpus itself (first 6 tokens of four fixed docs) so
     both engines build identical queries.  Scores are bit-deterministic:
     9dp-rounded idf and contributions summed in ascending sorted order
