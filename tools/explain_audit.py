@@ -52,6 +52,15 @@ CHECKS = {
     # cluster sizes ride a hash agg; CC rounds are pre-materialized
     # (localCheckpoint) so the final plan is agg + join over the star forest
     "dedup_clusters": ["HashAggregate"],
+    # query-term set broadcast onto exploded tokens BEFORE any aggregation
+    # (the corpus is never shuffled); tf agg is partial+final
+    "bm25_search": ["BroadcastHashJoin", "HashAggregate"],
+    # global top-20 must be TakeOrdered (per-partition heaps), not a sort
+    "ngram_topk": ["TakeOrderedAndProject", "HashAggregate"],
+    # gaps-and-islands window over the hash-blocked match set
+    "shared_spans": ["Window", "HashAggregate"],
+    # map-side literal-centroid assignment; sizes joined back broadcast
+    "embed_clusters": ["BroadcastHashJoin"],
 }
 
 
