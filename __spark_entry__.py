@@ -752,6 +752,26 @@ def q_source_quota(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Target-mixture selection (the training-mix primitive): quotas
+    floor(56 * w/Σw) over weights {src0:4, src1:2, src2:1, src3:1} =
+    28/14/7/7 docs, hash-rank selected with the scale prefilter in the
+    plan; src0's quota exceeds its population so the undersupply path is
+    exercised; unweighted sources are dropped.  The oracle replays the
+    prefilter threshold AND the rank, so the result is pinned to be
+    identical to the full rank."""
+    from osm2geojson_lite_spark.pipeline.sample import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}, total=56
+    )
+    return out.select(
+        F.col("source").cast("string").alias("source"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode: parse real BMP/PPM/WAV/Y4M bytes to typed metadata.
 
@@ -1103,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "doc_sample": q_doc_sample,
         "source_quota": q_source_quota,
+        "mixture_sample": q_mixture_sample,
         "embedding_neardup": q_embedding_neardup,
         "passage_dedup": q_passage_dedup,
         "pack_sequences": q_pack_sequences,
@@ -1480,6 +1501,31 @@ def oracle_sql() -> dict[str, str]:
                      ) rn
               from documents
             ) where rn <= 10
+        """,
+        "mixture_sample": """
+            with w as (
+              select * from (values ('src0', 28), ('src1', 14),
+                                    ('src2', 7), ('src3', 7)) t(source, quota)
+            ),
+            cnt as (select source, count(*) n from documents group by source),
+            surv as (
+              select d.source, d.doc_id, w.quota,
+                     ('0x' || substr(md5('0:' || d.doc_id::varchar),
+                                     1, 8))::bigint h
+              from documents d join w using (source) join cnt c using (source)
+              where w.quota > 0
+                and ('0x' || substr(md5('0:' || d.doc_id::varchar),
+                                    1, 8))::bigint
+                    < least(4294967296.0,
+                            4294967296.0 * (2.0 * w.quota + 64) / c.n)
+            ),
+            r as (
+              select source, doc_id, quota,
+                     row_number() over (partition by source
+                                        order by h asc, doc_id asc) rn
+              from surv
+            )
+            select source, doc_id::bigint doc_id from r where rn <= quota
         """,
         "media_decode": f"""
             select * from (values {media_values})

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ngram_topk",
     "shared_spans",
     "embed_clusters",
+    "mixture_sample",
     "tpch_q1",
     "events_hourly",
 ]

@@ -16,6 +16,10 @@ decision on a hash of the row's own key instead:
   natural ordering) and keep the first ``quota``.  One window shuffle on
   the group key; skew in group sizes is bounded because output per group
   is capped at ``quota``.
+- :func:`mixture_sample` — target-mixture selection (the training-mix
+  primitive): per-group quotas derived from domain weights, selected by
+  the same hash rank, with a hash-threshold prefilter so a billion-row
+  domain never funnels through one window partition.
 
 Both are pure column expressions (JVM-side, codegen) — no UDFs.  The hash
 is the repo's shared md5-derived bigint (`text.token_hash_col` rationale)
@@ -64,4 +68,62 @@ def quota_cap(df: DataFrame, group_col: str, quota: int, *,
         df.withColumn("_qrank", F.row_number().over(w))
         .filter(F.col("_qrank") <= quota)
         .drop("_qrank")
+    )
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float], total: int, *,
+                   group_col: str = "source", key: str = "doc_id",
+                   salt: int = 0, prefilter_slack: int = 64) -> DataFrame:
+    """Target-mixture sampling — the training-mix primitive: keep
+    ``floor(total * w_g / Σw)`` rows from each group ``g`` in ``weights``
+    (capped at the group's population; groups absent from ``weights`` are
+    dropped), selected by the same deterministic hash rank as
+    :func:`quota_cap` so the exact row set is reproducible at any
+    parallelism and replayable in ANSI SQL.
+
+    Scale shape — the naive form (window-rank every row of every group) has
+    a skew problem :func:`quota_cap` merely caps: ranking a group still
+    funnels ALL its rows through one window partition, so at 100 TB one
+    billion-row domain = one task.  This operator bounds the window input
+    with a **hash-threshold prefilter**: per group, keep rows with
+    ``hash < 2^32 · min(1, (2·quota_g + prefilter_slack) / n_g)`` (``n_g``
+    from a map-side-combined count, broadcast back), THEN rank only the
+    survivors.  The true quota_g lowest-hash rows all survive the prefilter
+    whenever at least quota_g rows do, so the result is *identical* to the
+    full rank; with 2× + ``prefilter_slack`` headroom the shortfall
+    probability is Chernoff-negligible (< 1e-20 even at quota 1).  Window
+    input per group is ~2·quota + slack regardless of group size.
+
+    Undersupplied groups (population < quota) keep every row — the caller
+    sees the achieved mix via a ``groupBy(group_col).count()`` on the
+    output; this operator never upsamples (epoch repetition is a separate
+    concern from selection).
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    quotas = {g: int(total * w / wsum) for g, w in weights.items()}
+    quota_col = F.create_map(
+        *[F.lit(x) for g, q in quotas.items() for x in (g, q)]
+    )[F.col(group_col)]
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    h = sample_hash_col(F.col(key), salt)
+    threshold = F.least(
+        F.lit(float(_DENOM)),
+        F.lit(float(_DENOM)) * (2.0 * quota_col + prefilter_slack)
+        / F.col("_n"),
+    )
+    survivors = (
+        df.withColumn("_quota", quota_col)
+        .filter(F.col("_quota") > 0)
+        .join(F.broadcast(counts), group_col)
+        .filter(h < threshold)
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        survivors.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= F.col("_quota"))
+        .drop("_qrank", "_quota", "_n")
     )

@@ -427,3 +427,51 @@ def test_quota_cap_per_group(spark):
     assert a == b
     # quota above group size keeps everything
     assert quota_cap(df, "domain", 100).count() == 300
+
+
+def test_mixture_sample_exact_selection(spark):
+    """mixture_sample == the naive full hash-rank selection (the prefilter
+    is a pure optimization), with floor(total*w/Σw) per-group quotas,
+    undersupplied groups keeping everything, unweighted groups dropped."""
+    import hashlib
+
+    from osm2geojson_lite_spark.pipeline.sample import mixture_sample
+
+    # populations: a=400, b=100, c=30, d=200 (d unweighted)
+    rows = ([(f"a{i}", "a") for i in range(400)]
+            + [(f"b{i}", "b") for i in range(100)]
+            + [(f"c{i}", "c") for i in range(30)]
+            + [(f"d{i}", "d") for i in range(200)])
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    weights = {"a": 2.0, "b": 1.0, "c": 1.0}
+    total = 200  # quotas: a=100, b=50, c=50 -> c undersupplied (keeps 30)
+    out = mixture_sample(df, weights, total, group_col="source")
+    got = {r["source"]: set() for r in out.collect()}
+    for r in out.collect():
+        got[r["source"]].add(r["doc_id"])
+    assert set(got) == {"a", "b", "c"}  # d dropped
+    assert len(got["a"]) == 100 and len(got["b"]) == 50 and len(got["c"]) == 30
+
+    def h(key):
+        return int(hashlib.md5(f"0:{key}".encode()).hexdigest()[:8], 16)
+
+    for src, quota in (("a", 100), ("b", 50), ("c", 50)):
+        keys = [k for k, s in rows if s == src]
+        want = set(sorted(keys, key=lambda k: (h(k), k))[:quota])
+        assert got[src] == want, src  # identical to the full rank
+
+    # partitioning-invariant
+    again = {(r["source"], r["doc_id"]) for r in mixture_sample(
+        df.repartition(13), weights, total, group_col="source").collect()}
+    assert again == {(s, k) for s, ks in got.items() for k in ks}
+
+
+def test_mixture_sample_tiny_quota_survives_prefilter(spark):
+    """quota=1 over a large group: the slack term keeps the prefilter from
+    starving the rank (the Chernoff-bound edge case)."""
+    from osm2geojson_lite_spark.pipeline.sample import mixture_sample
+
+    df = spark.createDataFrame(
+        [(f"k{i}", "g") for i in range(5000)], "doc_id string, source string")
+    out = mixture_sample(df, {"g": 1.0}, 1, group_col="source")
+    assert out.count() == 1

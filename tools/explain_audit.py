@@ -61,6 +61,9 @@ CHECKS = {
     "shared_spans": ["Window", "HashAggregate"],
     # map-side literal-centroid assignment; sizes joined back broadcast
     "embed_clusters": ["BroadcastHashJoin"],
+    # per-group counts broadcast back; rank window only over prefilter
+    # survivors (~2*quota + slack rows per group)
+    "mixture_sample": ["BroadcastHashJoin", "Window"],
 }
 
 
