@@ -772,6 +772,25 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_mixture_tokens(spark, sf_dir):
+    """Token-denominated mixture fill: budgets floor(4000 * w/Σw) over
+    weights {src0:2, src1:1, src2:1} = 2000/1000/1000 tokens; at sf0.01
+    each source supplies ~1.4-1.5k tokens so src0 is undersupplied (keeps
+    all docs) while src1/src2 fill mid-corpus (the budget-crossing doc is
+    included).  Oracle replays the prefilter threshold AND the exclusive
+    cumulative-sum walk."""
+    from osm2geojson_lite_spark.pipeline.sample import mixture_sample_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_sample_tokens(
+        docs, {"src0": 2.0, "src1": 1.0, "src2": 1.0}, total_tokens=4000
+    )
+    return out.select(
+        F.col("source").cast("string").alias("source"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode: parse real BMP/PPM/WAV/Y4M bytes to typed metadata.
 
@@ -1124,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "source_quota": q_source_quota,
         "mixture_sample": q_mixture_sample,
+        "mixture_tokens": q_mixture_tokens,
         "embedding_neardup": q_embedding_neardup,
         "passage_dedup": q_passage_dedup,
         "pack_sequences": q_pack_sequences,
@@ -1526,6 +1546,38 @@ def oracle_sql() -> dict[str, str]:
               from surv
             )
             select source, doc_id::bigint doc_id from r where rn <= quota
+        """,
+        "mixture_tokens": f"""
+            with w as (
+              select * from (values ('src0', 2000), ('src1', 1000),
+                                    ('src2', 1000)) t(source, budget)
+            ),
+            tk as (
+              select doc_id, source, len({_TOKENS_SQL}) ntok from documents
+            ),
+            st as (
+              select source, count(*) n, sum(ntok) tt from tk group by source
+            ),
+            surv as (
+              select k.source, k.doc_id, k.ntok, w.budget,
+                     ('0x' || substr(md5('0:' || k.doc_id::varchar),
+                                     1, 8))::bigint h
+              from tk k join w using (source) join st using (source)
+              where w.budget > 0
+                and ('0x' || substr(md5('0:' || k.doc_id::varchar),
+                                    1, 8))::bigint
+                    < 4294967296.0 * least(1.0,
+                        2.0 * w.budget / st.tt + 64.0 / st.n)
+            ),
+            c as (
+              select source, doc_id, budget,
+                     coalesce(sum(ntok) over (
+                       partition by source order by h asc, doc_id asc
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) cb
+              from surv
+            )
+            select source, doc_id::bigint doc_id from c where cb < budget
         """,
         "media_decode": f"""
             select * from (values {media_values})

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "shared_spans",
     "embed_clusters",
     "mixture_sample",
+    "mixture_tokens",
     "tpch_q1",
     "events_hourly",
 ]

@@ -20,6 +20,9 @@ decision on a hash of the row's own key instead:
   primitive): per-group quotas derived from domain weights, selected by
   the same hash rank, with a hash-threshold prefilter so a billion-row
   domain never funnels through one window partition.
+- :func:`mixture_sample_tokens` — the token-denominated form (training
+  mixes are budgeted in tokens): per-group token budgets filled in hash-
+  rank order via an exclusive cumulative sum, same prefilter shape.
 
 Both are pure column expressions (JVM-side, codegen) — no UDFs.  The hash
 is the repo's shared md5-derived bigint (`text.token_hash_col` rationale)
@@ -29,7 +32,7 @@ SQL and every sample stays fully oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _DENOM = 1 << 32
 
@@ -126,4 +129,79 @@ def mixture_sample(df: DataFrame, weights: dict[str, float], total: int, *,
         survivors.withColumn("_qrank", F.row_number().over(w))
         .filter(F.col("_qrank") <= F.col("_quota"))
         .drop("_qrank", "_quota", "_n")
+    )
+
+
+def mixture_sample_tokens(df: DataFrame, weights: dict[str, float],
+                          total_tokens: int, *, group_col: str = "source",
+                          key: str = "doc_id",
+                          token_count: str | Column = None,
+                          salt: int = 0,
+                          prefilter_slack: int = 64) -> DataFrame:
+    """Token-denominated target-mixture sampling — training mixes are
+    budgeted in TOKENS, not documents: fill each group's budget
+    ``floor(total_tokens · w_g / Σw)`` by walking the group in
+    deterministic hash-rank order and keeping every document whose
+    *predecessors* sum below the budget (so the budget-crossing document
+    is included, GPT-fill style; the output overshoots by at most one
+    document per group).  Groups absent from ``weights`` are dropped;
+    a group whose total supply is under budget keeps every row.
+
+    ``token_count`` is a column name or Column with the per-row token
+    count; default = whitespace token count of ``text`` (the repo's
+    ``tokens_col``).
+
+    Scale shape mirrors :func:`mixture_sample`: per-group ``(n, Σtokens)``
+    from one map-side-combined agg broadcast back, a hash-threshold
+    prefilter at rate ``min(1, 2·budget_g/T_g + slack/n_g)``, then the
+    ordered cumulative-sum window only over survivors.  The kept set is a
+    hash-rank prefix, so it is *identical* to the full-group walk whenever
+    the survivors' token total reaches the budget (or the whole group
+    survives) — with 2× + ``prefilter_slack``-rows headroom the shortfall
+    probability is negligible for token counts independent of the key
+    hash (which they are: the hash sees only the key).
+    """
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    budgets = {g: int(total_tokens * w / wsum) for g, w in weights.items()}
+    budget_col = F.create_map(
+        *[F.lit(x) for g, b in budgets.items() for x in (g, b)]
+    )[F.col(group_col)]
+    if token_count is None:
+        from .text import tokens_col
+
+        ntok = F.size(tokens_col(F.col("text")))
+    elif isinstance(token_count, str):
+        ntok = F.col(token_count)
+    else:
+        ntok = token_count
+    base = df.withColumn("_ntok", ntok.cast("bigint"))
+    stats = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_ntok").alias("_t")
+    )
+    h = sample_hash_col(F.col(key), salt)
+    rate = F.least(
+        F.lit(1.0),
+        2.0 * budget_col / F.col("_t")
+        + float(prefilter_slack) / F.col("_n"),
+    )
+    survivors = (
+        base.withColumn("_budget", budget_col)
+        .filter(F.col("_budget") > 0)
+        .join(F.broadcast(stats), group_col)
+        .filter(h < F.lit(float(_DENOM)) * rate)
+    )
+    w = (
+        Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        survivors.withColumn(
+            "_cum_before", F.coalesce(F.sum("_ntok").over(w), F.lit(0))
+        )
+        .filter(F.col("_cum_before") < F.col("_budget"))
+        .drop("_cum_before", "_budget", "_ntok", "_n", "_t")
     )

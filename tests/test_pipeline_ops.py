@@ -475,3 +475,65 @@ def test_mixture_sample_tiny_quota_survives_prefilter(spark):
         [(f"k{i}", "g") for i in range(5000)], "doc_id string, source string")
     out = mixture_sample(df, {"g": 1.0}, 1, group_col="source")
     assert out.count() == 1
+
+
+def test_mixture_sample_tokens_budget_fill(spark):
+    """Token-budget fill == the python walk: hash-rank order, keep while
+    predecessors sum under budget (crossing doc included), undersupplied
+    group keeps all, unweighted group dropped."""
+    import hashlib
+
+    from osm2geojson_lite_spark.pipeline.sample import mixture_sample_tokens
+
+    # token counts vary per row: doc i in group g has (i % 13) + 1 tokens
+    rows = []
+    for g, n in (("a", 300), ("b", 120), ("c", 10), ("d", 50)):
+        for i in range(n):
+            rows.append((f"{g}{i}", g, "w " * ((i % 13) + 1)))
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    weights = {"a": 2.0, "b": 1.0, "c": 1.0}
+    total = 800  # budgets: a=400, b=200, c=200 (c supplies only ~55 tokens)
+    out = mixture_sample_tokens(df, weights, total, group_col="source")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert set(got) == {"a", "b", "c"}
+    assert len(got["c"]) == 10  # undersupplied: keeps everything
+
+    def h(key):
+        return int(hashlib.md5(f"0:{key}".encode()).hexdigest()[:8], 16)
+
+    toks = {k: len(t.split()) for k, g, t in rows}
+    for src, budget in (("a", 400), ("b", 200), ("c", 200)):
+        keys = sorted((k for k, g, t in rows if g == src),
+                      key=lambda k: (h(k), k))
+        want, cum = set(), 0
+        for k in keys:
+            if cum >= budget:
+                break
+            want.add(k)
+            cum += toks[k]
+        assert got[src] == want, src
+        if src != "c":  # budget reached: fill property holds
+            kept_tokens = sum(toks[k] for k in want)
+            assert kept_tokens >= budget  # crossing doc included
+            assert kept_tokens - max(toks[k] for k in want) < budget
+
+    # partitioning-invariant
+    again = {(r["source"], r["doc_id"]) for r in mixture_sample_tokens(
+        df.repartition(11), weights, total, group_col="source").collect()}
+    assert again == {(s, k) for s, ks in got.items() for k in ks}
+
+
+def test_mixture_sample_tokens_explicit_count_col(spark):
+    """token_count accepts a precomputed column (the 100 TB shape: token
+    counts land in table metadata once, sampling never re-tokenizes)."""
+    from osm2geojson_lite_spark.pipeline.sample import mixture_sample_tokens
+
+    df = spark.createDataFrame(
+        [(f"k{i}", "g", 10) for i in range(100)],
+        "doc_id string, source string, n_tokens int")
+    out = mixture_sample_tokens(df, {"g": 1.0}, 55, group_col="source",
+                                token_count="n_tokens")
+    # 55-token budget over 10-token docs: 5 docs fill 50 < 55 -> 6th included
+    assert out.count() == 6

@@ -64,6 +64,8 @@ CHECKS = {
     # per-group counts broadcast back; rank window only over prefilter
     # survivors (~2*quota + slack rows per group)
     "mixture_sample": ["BroadcastHashJoin", "Window"],
+    # same shape, token-denominated: cumulative-sum window over survivors
+    "mixture_tokens": ["BroadcastHashJoin", "Window"],
 }
 
 
