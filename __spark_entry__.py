@@ -791,6 +791,24 @@ def q_mixture_tokens(spark, sf_dir):
     )
 
 
+def q_mixture_epochs(spark, sf_dir):
+    """Oversampling mixture: budgets floor(9000 * w/Σw) over {src0:2,
+    src1:1} = 6000/3000 tokens against ~1.4-1.5k supply -> src0 repeats
+    for 4 full epochs + a remainder fill, src1 for 1 + fill.  Oracle
+    replays the integer div/mod epoch split, the prefilter threshold, and
+    the remainder walk."""
+    from osm2geojson_lite_spark.pipeline.sample import mixture_epochs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_epochs(docs, {"src0": 2.0, "src1": 1.0},
+                         total_tokens=9000)
+    return out.select(
+        F.col("source").cast("string").alias("source"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("epoch").cast("int").alias("epoch"),
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode: parse real BMP/PPM/WAV/Y4M bytes to typed metadata.
 
@@ -1144,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "mixture_sample": q_mixture_sample,
         "mixture_tokens": q_mixture_tokens,
+        "mixture_epochs": q_mixture_epochs,
         "embedding_neardup": q_embedding_neardup,
         "passage_dedup": q_passage_dedup,
         "pack_sequences": q_pack_sequences,
@@ -1578,6 +1597,49 @@ def oracle_sql() -> dict[str, str]:
               from surv
             )
             select source, doc_id::bigint doc_id from c where cb < budget
+        """,
+        "mixture_epochs": f"""
+            with w as (
+              select * from (values ('src0', 6000), ('src1', 3000))
+              t(source, budget)
+            ),
+            tk as (
+              select doc_id, source, len({_TOKENS_SQL}) ntok from documents
+            ),
+            st as (
+              select source, count(*) n, sum(ntok) tt from tk group by source
+            ),
+            j as (
+              select k.source, k.doc_id, k.ntok, w.budget, st.n, st.tt,
+                     w.budget // st.tt fe, w.budget % st.tt rem,
+                     ('0x' || substr(md5('0:' || k.doc_id::varchar),
+                                     1, 8))::bigint h
+              from tk k join w using (source) join st using (source)
+              where w.budget > 0 and st.tt > 0
+            ),
+            ful as (
+              select source, doc_id,
+                     unnest(range(fe::bigint))::int epoch
+              from j where fe > 0
+            ),
+            surv as (
+              select * from j
+              where h < 4294967296.0 * least(1.0,
+                      2.0 * rem / tt + 64.0 / n)
+            ),
+            c as (
+              select source, doc_id, fe, rem,
+                     coalesce(sum(ntok) over (
+                       partition by source order by h asc, doc_id asc
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) cb
+              from surv
+            )
+            select source, doc_id::bigint doc_id, epoch from (
+              select source, doc_id, epoch from ful
+              union all
+              select source, doc_id, fe::int epoch from c where cb < rem
+            )
         """,
         "media_decode": f"""
             select * from (values {media_values})

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "embed_clusters",
     "mixture_sample",
     "mixture_tokens",
+    "mixture_epochs",
     "tpch_q1",
     "events_hourly",
 ]

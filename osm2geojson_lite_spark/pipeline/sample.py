@@ -23,6 +23,9 @@ decision on a hash of the row's own key instead:
 - :func:`mixture_sample_tokens` — the token-denominated form (training
   mixes are budgeted in tokens): per-group token budgets filled in hash-
   rank order via an exclusive cumulative sum, same prefilter shape.
+- :func:`mixture_epochs` — oversampling: budgets above a domain's supply
+  repeat the whole domain for ``budget div supply`` epochs plus a
+  hash-rank remainder fill, with an explicit ``epoch`` column.
 
 Both are pure column expressions (JVM-side, codegen) — no UDFs.  The hash
 is the repo's shared md5-derived bigint (`text.token_hash_col` rationale)
@@ -205,3 +208,88 @@ def mixture_sample_tokens(df: DataFrame, weights: dict[str, float],
         .filter(F.col("_cum_before") < F.col("_budget"))
         .drop("_cum_before", "_budget", "_ntok", "_n", "_t")
     )
+
+
+def mixture_epochs(df: DataFrame, weights: dict[str, float],
+                   total_tokens: int, *, group_col: str = "source",
+                   key: str = "doc_id",
+                   token_count: str | Column = None,
+                   salt: int = 0,
+                   prefilter_slack: int = 64) -> DataFrame:
+    """Token-budget mixture WITH oversampling (the Dolma/Pile-style epoch
+    semantics): when a domain's budget exceeds its supply, the whole
+    domain is repeated ``budget_g div T_g`` times (epochs ``0..fe-1``) and
+    the remainder ``budget_g mod T_g`` is filled by the deterministic
+    hash-rank token walk of :func:`mixture_sample_tokens` at epoch ``fe``.
+    Output = input columns + an ``epoch`` int column; rows are exact
+    duplicates apart from ``epoch``, so downstream shuffles see distinct
+    keys only with ``(key, epoch)``.
+
+    Undersupplied domains therefore hit their token budget exactly (to
+    within one document); the doc-denominated operators never upsample.
+    Integer arithmetic only (``div``/``mod`` on bigint supply), so the
+    epoch split is bit-identical across engines.
+
+    Scale shape: the full-epoch part is a map-side ``explode(sequence)``
+    over the corpus — zero shuffle; the remainder part reuses the
+    prefiltered cumulative walk (window input ~2·remainder/avg_tokens +
+    slack rows per group).  Groups with zero total tokens are dropped
+    (nothing to repeat, nothing to fill).
+    """
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    budgets = {g: int(total_tokens * w / wsum) for g, w in weights.items()}
+    budget_col = F.create_map(
+        *[F.lit(x) for g, b in budgets.items() for x in (g, b)]
+    )[F.col(group_col)]
+    if token_count is None:
+        from .text import tokens_col
+
+        ntok = F.size(tokens_col(F.col("text")))
+    elif isinstance(token_count, str):
+        ntok = F.col(token_count)
+    else:
+        ntok = token_count
+    base = df.withColumn("_ntok", ntok.cast("bigint"))
+    stats = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_ntok").alias("_t")
+    )
+    j = (
+        base.withColumn("_budget", budget_col.cast("bigint"))
+        .filter(F.col("_budget") > 0)
+        .join(F.broadcast(stats), group_col)
+        .filter(F.col("_t") > 0)
+        .withColumn("_fe", F.expr("_budget div _t"))
+        .withColumn("_rem", F.col("_budget") % F.col("_t"))
+    )
+    out_cols = [c for c in df.columns]
+    full = j.select(
+        *out_cols,
+        F.explode(
+            F.when(F.col("_fe") > 0,
+                   F.sequence(F.lit(0), (F.col("_fe") - 1).cast("int")))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("epoch"),
+    )
+    h = sample_hash_col(F.col(key), salt)
+    rate = F.least(
+        F.lit(1.0),
+        2.0 * F.col("_rem") / F.col("_t")
+        + float(prefilter_slack) / F.col("_n"),
+    )
+    w = (
+        Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rem = (
+        j.filter(h < F.lit(float(_DENOM)) * rate)
+        .withColumn(
+            "_cum_before", F.coalesce(F.sum("_ntok").over(w), F.lit(0))
+        )
+        .filter(F.col("_cum_before") < F.col("_rem"))
+        .select(*out_cols, F.col("_fe").cast("int").alias("epoch"))
+    )
+    return full.unionByName(rem)

@@ -537,3 +537,57 @@ def test_mixture_sample_tokens_explicit_count_col(spark):
                                 token_count="n_tokens")
     # 55-token budget over 10-token docs: 5 docs fill 50 < 55 -> 6th included
     assert out.count() == 6
+
+
+def test_mixture_epochs_oversampling(spark):
+    """Budget over supply repeats the domain: supply 30 tokens, budget 100
+    -> 3 full epochs (0,1,2) of every doc + a 10-token remainder fill at
+    epoch 3; a second in-budget domain behaves like plain token fill at
+    epoch 0; token totals hit the budget to within one doc."""
+    import hashlib
+
+    from osm2geojson_lite_spark.pipeline.sample import (
+        mixture_epochs, mixture_sample_tokens,
+    )
+
+    rows = ([(f"a{i}", "a", "t " * 3) for i in range(10)]        # supply 30
+            + [(f"b{i}", "b", "t " * 5) for i in range(100)])    # supply 500
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    weights, total = {"a": 1.0, "b": 2.0}, 300  # budgets: a=100, b=200
+    out = mixture_epochs(df, weights, total, group_col="source")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], []).append((r["doc_id"], r["epoch"]))
+
+    # domain a: 3 full epochs of all 10 docs + remainder 10 tokens at epoch 3
+    a = got["a"]
+    for e in (0, 1, 2):
+        assert sorted(k for k, ep in a if ep == e) == [f"a{i}" for i in range(10)]
+
+    def h(key):
+        return int(hashlib.md5(f"0:{key}".encode()).hexdigest()[:8], 16)
+
+    keys = sorted((f"a{i}" for i in range(10)), key=lambda k: (h(k), k))
+    want_rem, cum = [], 0
+    for k in keys:
+        if cum >= 10:
+            break
+        want_rem.append(k)
+        cum += 3
+    assert sorted(k for k, ep in a if ep == 3) == sorted(want_rem)
+    a_tokens = 3 * len(a)
+    assert 100 <= a_tokens < 100 + 3  # budget hit to within one doc
+
+    # domain b (in budget): identical doc set to the plain token fill, all epoch 0
+    b_docs = sorted(k for k, ep in got["b"])
+    assert all(ep == 0 for _, ep in got["b"])
+    plain = sorted(r["doc_id"] for r in mixture_sample_tokens(
+        df.filter(F.col("source") == "b"), {"b": 1.0}, 200,
+        group_col="source").collect())
+    assert b_docs == plain
+
+    # partitioning-invariant
+    again = sorted((r["source"], r["doc_id"], r["epoch"]) for r in
+                   mixture_epochs(df.repartition(7), weights, total,
+                                  group_col="source").collect())
+    assert again == sorted((s, k, e) for s, kes in got.items() for k, e in kes)

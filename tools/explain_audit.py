@@ -66,6 +66,9 @@ CHECKS = {
     "mixture_sample": ["BroadcastHashJoin", "Window"],
     # same shape, token-denominated: cumulative-sum window over survivors
     "mixture_tokens": ["BroadcastHashJoin", "Window"],
+    # full epochs are a map-side explode(sequence); remainder reuses the
+    # prefiltered cumulative walk
+    "mixture_epochs": ["BroadcastHashJoin", "Window"],
 }
 
 
