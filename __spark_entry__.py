@@ -871,11 +871,21 @@ def q_embed_quantize(spark, sf_dir):
     """Symmetric per-vector int8 quantization of the embedding column (4x
     smaller ANN index / shuffle bytes): scale = round(max|v|/127, 9),
     q = clamp(floor(v/scale + 0.5), -127, 127).  Reports reconstruction
-    error and cosine fidelity per vector; all map-side, no shuffle."""
+    error and cosine fidelity per vector; all map-side, no shuffle.
+
+    The full qvec is projected as a CSV string (plus its length): the
+    driver's canonicalizer sorts columns through pandas, which cannot hash
+    raw array cells — same scalar-projection pattern as
+    q_minhash_signatures, and the CSV keeps the gate sensitive to every
+    element of every vector."""
     emb = _read(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        "qvec", "scale", "max_abs_err", "cos_fid",
+        F.size("qvec").cast("bigint").alias("n_dims"),
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+        "scale", "max_abs_err", "cos_fid",
     )
 
 
@@ -982,8 +992,11 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 # the planted boilerplate span for q_shared_spans: 24 synthetic tokens that
-# never occur in the generated corpus text, appended to every doc_id%20==1
-# document by both the Spark query and the DuckDB oracle
+# never occur in the generated corpus text, appended to the fixed set
+# {doc_id % 20 == 1, doc_id < 500} (25 docs at every sf) by both the Spark
+# query and the DuckDB oracle — bounding the set keeps the planted pair
+# count constant (C(25,2)) instead of growing quadratically with corpus
+# size, so the gate/bench query stays linear in the corpus
 SHARED_SPAN_TOKENS = " ".join(f"sp{i}" for i in range(24))
 
 
@@ -1031,15 +1044,17 @@ def q_ngram_topk(spark, sf_dir):
 def q_shared_spans(spark, sf_dir):
     """Exact shared-substring detection (Lee et al. 2022 reformulated as
     gram-diagonal run detection): pairs sharing >= 16 consecutive tokens,
-    with the max run length.  A 24-token boilerplate span is planted on
-    every doc_id%20==1 document (the corpus has no natural 16-token runs),
-    deterministically replayed by the oracle.  Blocked self-join on the
-    gram hash — linear in true overlap, never all-pairs."""
+    with the max run length.  A 24-token boilerplate span is planted on a
+    FIXED 25-doc set (doc_id%20==1 and doc_id<500 — the corpus has no
+    natural 16-token runs), deterministically replayed by the oracle; the
+    bounded set keeps planted pairs at C(25,2) regardless of corpus size.
+    Blocked self-join on the gram hash — linear in true overlap, never
+    all-pairs."""
     docs = _read(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
         F.when(
-            F.col("doc_id") % 20 == 1,
+            (F.col("doc_id") % 20 == 1) & (F.col("doc_id") < 500),
             F.concat(F.col("text"), F.lit(" " + SHARED_SPAN_TOKENS)),
         ).otherwise(F.col("text")).alias("text"),
     )
@@ -1124,6 +1139,15 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: round 4's driver gate recorded rows for exactly the
+    # FIRST 50 entries, leaving the then-last four (embed_clusters, tpch_q1,
+    # events_hourly, events_sessionize) unchecked.  Those four now sit well
+    # inside the first 50; the tail positions go to variant queries whose
+    # operators are independently gated elsewhere (minhash_signatures by
+    # minhash_neardup + ann_recall's signature replay, ngram_jaccard's
+    # guarded all-pairs by pytest, doc_sample by the partitioning-invariance
+    # suite, ann_ivf_spill by ann_recall's 5-variant replay) so nothing is
+    # gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1140,25 +1164,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
         "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "embed_clusters": q_embed_clusters,
+        "tpch_q1": q_tpch_q1,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "ann_ivf_spill": q_ann_ivf_spill,
         "ann_lsh_multi": q_ann_lsh_multi,
         "ann_recall": q_ann_recall,
         "token_counts": q_token_counts,
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
         "media_decode": q_media_decode,
-        "doc_sample": q_doc_sample,
         "source_quota": q_source_quota,
         "mixture_sample": q_mixture_sample,
         "mixture_tokens": q_mixture_tokens,
@@ -1175,10 +1199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "ngram_topk": q_ngram_topk,
         "shared_spans": q_shared_spans,
-        "embed_clusters": q_embed_clusters,
-        "tpch_q1": q_tpch_q1,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
+        "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_sample": q_doc_sample,
+        "ann_ivf_spill": q_ann_ivf_spill,
     }
 
 
@@ -2096,7 +2120,8 @@ def oracle_sql() -> dict[str, str]:
                 else list_transform(embedding, x -> 0) end qv
               from s
             )
-            select vec_id::bigint vec_id, qv qvec, sc scale,
+            select vec_id::bigint vec_id, len(qv)::bigint n_dims,
+              array_to_string(qv, ',') qvec_csv, sc scale,
               round(list_max(list_transform(
                 generate_series(1, len(embedding)),
                 i -> abs(embedding[i]::double - qv[i]::double * sc))),
@@ -2358,7 +2383,7 @@ def oracle_sql() -> dict[str, str]:
         "shared_spans": f"""
             with aug as (
               select doc_id,
-                     text || case when doc_id % 20 = 1
+                     text || case when doc_id % 20 = 1 and doc_id < 500
                        then ' {SHARED_SPAN_TOKENS}' else '' end as text
               from documents
             ),

@@ -95,6 +95,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+    load_start = os.getloadavg()
 
     # warmup: compile the conversion DAG's codegen, start Python workers.
     force(convert(generate_documents(spark, 2000, partitions=16),
@@ -111,9 +112,6 @@ def main() -> None:
         force(convert(docs, Options(complete_feature=True)))
         if i > 0:
             walls.append(time.perf_counter() - t0)
-    convert_s = min(walls)
-    timings["osm_convert"] = round(convert_s, 3)
-    docs_per_sec = N_DOCS / convert_s
 
     # lineage-on vs lineage-off conversion (VERDICT r2 #8): same corpus,
     # both writing real parquet (the checkpoint path's unit of work), so
@@ -155,6 +153,22 @@ def main() -> None:
             best = w if best is None else min(best, w)
         timings[name] = round(best, 3)
 
+    # headline re-measure ~15-20 min after the first block: neighbor load
+    # on this shared host inflates a single window 2-5x (BENCH.md records a
+    # 805-1780 docs/s spread across rounds on md5-identical output), so the
+    # headline is best-of-5 across two spaced windows and the artifact
+    # carries the 1/5/15-min load averages to make any loaded sample
+    # self-describing (VERDICT r4 #3).
+    late_walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(convert(docs, Options(complete_feature=True)))
+        late_walls.append(time.perf_counter() - t0)
+    convert_s = min(walls + late_walls)
+    timings["osm_convert"] = round(convert_s, 3)
+    docs_per_sec = N_DOCS / convert_s
+    load_end = os.getloadavg()
+
     print(json.dumps({
         "metric": "docs_per_sec_convert",
         "value": round(docs_per_sec, 2),
@@ -163,6 +177,10 @@ def main() -> None:
         "sf": sf,
         "n_docs": N_DOCS,
         "cpus": CPUS,
+        "headline_walls_early": [round(w, 3) for w in walls],
+        "headline_walls_late": [round(w, 3) for w in late_walls],
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in load_end],
     }))
 
 

@@ -215,10 +215,16 @@ def passage_dedup(docs: DataFrame, *, id_col: str = "doc_id",
     policy.  ``clean_text`` is the kept passages re-joined in document
     order.
 
-    Scale shape: explode to one row per passage (O(tokens/window) rows),
-    ONE shuffle partitioned by the passage's md5 for the first-occurrence
-    ranking (duplicate passages meet in one partition; the md5 key is
-    uniform so no salt is needed), one groupBy(doc) to reassemble.  This is
+    Scale shape: explode to one row per passage (O(tokens/window) rows);
+    the first occurrence per passage is ``min(struct(doc_id, w))`` from a
+    ``groupBy(h)`` — a PARTIALLY-AGGREGABLE reduction, so even a passage
+    occurring 10^8 times (the boilerplate passage dedup exists to remove)
+    combines map-side before one row per distinct passage crosses the
+    shuffle.  The winner marks keepers via an equi-join back on ``h``
+    (skewed hot hashes there are splittable by AQE skew-join, since the
+    winner side is one row per key — a window rank, which round 4 used,
+    funnels every copy of a hot passage through a single unsplittable
+    partition with no combiner).  One groupBy(doc) reassembles.  This is
     the passage-granular sibling of :func:`exact_duplicates` — same
     hash-meet pattern, finer unit.
     """
@@ -226,15 +232,21 @@ def passage_dedup(docs: DataFrame, *, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         passage_windows_col(F.col(text_col), window).alias("ws"),
     )
-    exploded = wins.select(
-        "doc_id", F.size("ws").alias("n_windows"),
-        F.posexplode_outer("ws").alias("w", "wtext"),
-    ).withColumn("h", F.md5("wtext"))
-    first = Window.partitionBy("h").orderBy("doc_id", "w")
-    kept = (
-        exploded.withColumn("rn", F.row_number().over(first))
+    exploded = (
+        wins.select(
+            "doc_id", F.size("ws").alias("n_windows"),
+            F.posexplode_outer("ws").alias("w", "wtext"),
+        )
         .filter(F.col("wtext").isNotNull())
-        .withColumn("keep", F.col("rn") == 1)
+        .withColumn("h", F.md5("wtext"))
+    )
+    winners = exploded.groupBy("h").agg(
+        F.min(F.struct("doc_id", "w")).alias("_first")
+    )
+    kept = exploded.join(winners, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("w") == F.col("_first.w")),
     )
     return (
         kept.groupBy("doc_id")

@@ -61,19 +61,39 @@ def deterministic_sample(df: DataFrame, rate: float, *, key: str = "doc_id",
 
 
 def quota_cap(df: DataFrame, group_col: str, quota: int, *,
-              key: str = "doc_id", salt: int = 0) -> DataFrame:
+              key: str = "doc_id", salt: int = 0,
+              prefilter_slack: int = 64) -> DataFrame:
     """Keep at most ``quota`` rows per group, selected by deterministic
     hash rank (ties broken by the key itself, so output is total-ordered
-    and byte-stable)."""
+    and byte-stable).
+
+    Scale shape: the rank window's input is bounded by the same
+    hash-threshold prefilter as :func:`mixture_sample` — per group, only
+    rows with ``hash < 2^32 · min(1, (2·quota + prefilter_slack) / n_g)``
+    (``n_g`` from a map-side-combined count broadcast back) reach the
+    window, so a billion-row domain contributes ~``2·quota + slack`` window
+    rows instead of funneling every row through one window partition.  The
+    quota lowest-hash rows all survive the prefilter whenever at least
+    ``quota`` rows do, so the output is identical to the unfiltered rank;
+    with 2x + slack headroom the shortfall probability is
+    Chernoff-negligible (< 1e-20 even at quota 1).
+    """
     if quota < 0:
         raise ValueError(f"quota must be >= 0, got {quota}")
-    w = Window.partitionBy(group_col).orderBy(
-        sample_hash_col(F.col(key), salt).asc(), F.col(key).asc()
+    out_cols = list(df.columns)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    h = sample_hash_col(F.col(key), salt)
+    threshold = F.least(
+        F.lit(float(_DENOM)),
+        F.lit(float(_DENOM)) * (2.0 * quota + prefilter_slack)
+        / F.col("_n"),
     )
+    survivors = df.join(F.broadcast(counts), group_col).filter(h < threshold)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
     return (
-        df.withColumn("_qrank", F.row_number().over(w))
+        survivors.withColumn("_qrank", F.row_number().over(w))
         .filter(F.col("_qrank") <= quota)
-        .drop("_qrank")
+        .select(*out_cols)
     )
 
 
@@ -99,6 +119,12 @@ def mixture_sample(df: DataFrame, weights: dict[str, float], total: int, *,
     full rank; with 2× + ``prefilter_slack`` headroom the shortfall
     probability is Chernoff-negligible (< 1e-20 even at quota 1).  Window
     input per group is ~2·quota + slack regardless of group size.
+
+    Note on verification: the DuckDB oracle replays the SAME prefilter, so
+    oracle equality validates the rank-and-select but not the prefilter's
+    no-shortfall property; that is pinned separately by the pytest that
+    compares against the naive full-group rank
+    (``tests/test_sampling.py``).
 
     Undersupplied groups (population < quota) keep every row — the caller
     sees the achieved mix via a ``groupBy(group_col).count()`` on the
@@ -138,7 +164,7 @@ def mixture_sample(df: DataFrame, weights: dict[str, float], total: int, *,
 def mixture_sample_tokens(df: DataFrame, weights: dict[str, float],
                           total_tokens: int, *, group_col: str = "source",
                           key: str = "doc_id",
-                          token_count: str | Column = None,
+                          token_count: str | Column | None = None,
                           salt: int = 0,
                           prefilter_slack: int = 64) -> DataFrame:
     """Token-denominated target-mixture sampling — training mixes are
@@ -213,7 +239,7 @@ def mixture_sample_tokens(df: DataFrame, weights: dict[str, float],
 def mixture_epochs(df: DataFrame, weights: dict[str, float],
                    total_tokens: int, *, group_col: str = "source",
                    key: str = "doc_id",
-                   token_count: str | Column = None,
+                   token_count: str | Column | None = None,
                    salt: int = 0,
                    prefilter_slack: int = 64) -> DataFrame:
     """Token-budget mixture WITH oversampling (the Dolma/Pile-style epoch

@@ -74,6 +74,16 @@ def worker(cpus: int, n_docs: int, sf_dir: str) -> None:
     # executions (the repeat distribution replaces inner best-of).  Timed
     # region == bench.py's: full conversion through the distributed noop sink.
     timed_execs = int(os.environ.get("SPARK_GRAFT_TIMED_EXECS", "3"))
+
+    def _cpu_ticks():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
+    # host-contention telemetry around the timed region (VERDICT r4 #3:
+    # a loaded sample must be self-describing IN the artifact): busy% of
+    # all host cores (our pinned leg accounts for cpus/ncpu of it — the
+    # excess is neighbor load) and hypervisor steal%.
+    ticks0, load0 = _cpu_ticks(), os.getloadavg()
     walls = []
     for i in range(1 + timed_execs):
         t0 = time.perf_counter()
@@ -83,6 +93,11 @@ def worker(cpus: int, n_docs: int, sf_dir: str) -> None:
         if i > 0:
             walls.append(time.perf_counter() - t0)
     wall = min(walls)
+    ticks1, load1 = _cpu_ticks(), os.getloadavg()
+    d = [a - b for a, b in zip(ticks1, ticks0)]
+    tot = sum(d) or 1
+    host_busy_pct = round(100.0 * (tot - d[3] - d[4]) / tot, 2)
+    steal_pct = round(100.0 * d[7] / tot, 3)
 
     # byte-identity hash, untimed (driver-side collect tax excluded)
     out = convert(docs, Options(complete_feature=True)).select(
@@ -106,6 +121,9 @@ def worker(cpus: int, n_docs: int, sf_dir: str) -> None:
         "n_docs": n_docs,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 2),
+        "host_busy_pct": host_busy_pct,
+        "steal_pct": steal_pct,
+        "load1": [round(load0[0], 2), round(load1[0], 2)],
         "convert_md5": convert_md5,
         "hashes": hashes,
     }))
@@ -168,6 +186,10 @@ def main() -> None:
                      f"local{n4_cpus}_docs_per_sec": r4["docs_per_sec"],
                      "efficiency": round(eff, 3),
                      "byte_identical": identical,
+                     "host_busy_pct": [rn.get("host_busy_pct"),
+                                       r4.get("host_busy_pct")],
+                     "steal_pct": [rn.get("steal_pct"), r4.get("steal_pct")],
+                     "load1": [rn.get("load1"), r4.get("load1")],
                      "convert_md5": rn["convert_md5"]})
 
     effs = sorted(r["efficiency"] for r in runs)
