@@ -37,12 +37,20 @@ def get_spark(app_name: str = "osm2geojson-lite-spark", *, cpus: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # larger Arrow batches: fewer JVM<->Python round trips per kernel task
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # local-mode CPU trades: RAM is plentiful, CPU is the contended
-        # resource — skip codec work on cache scans and local shuffles.
-        # (On a real cluster, re-enable shuffle compression: network >> CPU.)
-        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
-        .config("spark.shuffle.compress", "false")
-        .config("spark.shuffle.spill.compress", "false")
+        # Compression ON everywhere (round 5; rounds 2-4 ran local with it
+        # off on a "RAM is plentiful, CPU is contended" trade).  Round 5's
+        # host calibration showed this box's wide-parallelism legs are
+        # DRAM-bandwidth-bound in many windows (2->8-core scaling: 0.95
+        # frequency-bound vs 0.63 DRAM-bound kernels), where lz4 spends
+        # cheap ALU to cut bytes through the memory subsystem: interleaved
+        # A/B at local[8]/24k docs (tools/compress_ab.py) measured
+        # compression-on faster at best-of (+7.6%) and far more stable
+        # (walls 43-62s vs 46-75s).  It is also the cluster-correct
+        # setting - network >> CPU - so local and spark-submit runs now
+        # share one transport config.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "true")
+        .config("spark.shuffle.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions",
                 "-XX:+UseParallelGC -Djava.io.tmpdir=/tmp")
