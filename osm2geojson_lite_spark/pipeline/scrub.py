@@ -56,10 +56,14 @@ def pii_scrub(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
-def ngram_hashes_col(text: Column, n: int) -> Column:
-    """Distinct 60-bit hashes of the text's token ``n``-grams (the shared
-    md5 token hash, so DuckDB reproduces every value)."""
-    toks = tokens_col(text)
+def ngram_hashes_col(toks: Column, n: int) -> Column:
+    """Distinct 60-bit hashes of a token array's ``n``-grams (the shared
+    md5 token hash, so DuckDB reproduces every value).
+
+    ``toks`` must be a MATERIALIZED token-array column (aliased in a
+    previous select), never an inline ``tokens_col(text)`` expression —
+    Catalyst re-evaluates an inlined expression once per ``element_at``
+    in the gram lambda (measured 6x on this shape; see ``ngram_topk``)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(idx, lambda i: token_hash_col(F.concat_ws(
         " ", *[F.element_at(toks, (i + j + 1).cast("int"))
@@ -88,13 +92,16 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     never shuffled by gram, only by ``doc_id``.
     """
     bench_grams = (
-        benchmark.select(F.explode(
-            ngram_hashes_col(F.col(bench_text_col), n)).alias("g"))
+        benchmark.select(tokens_col(F.col(bench_text_col)).alias("toks"))
+        .select(F.explode(ngram_hashes_col(F.col("toks"), n)).alias("g"))
         .distinct()
     )
     doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
-        ngram_hashes_col(F.col(text_col), n).alias("grams"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).select(
+        "doc_id",
+        ngram_hashes_col(F.col("toks"), n).alias("grams"),
     ).select(
         "doc_id",
         F.size("grams").alias("n_doc_grams"),
