@@ -1105,6 +1105,52 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: every click matched to the same user's latest
+    error at-or-before it (1-day tolerance).  Exercises
+    ``temporal.asof_join``'s bucketed three-phase shape; nulls (no match /
+    beyond tolerance) are coalesced to -1 sentinels so the gate hash is
+    pandas-safe on both engines."""
+    from osm2geojson_lite_spark.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", t_us.alias("t_us"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        t_us.alias("t_us"),
+        F.round("value", 6).alias("err_value"))
+    j = asof_join(clicks, errors, on="user_id", left_time="t_us",
+                  right_time="t_us", right_values=["err_id", "err_value"],
+                  tolerance=86_400_000_000)
+    return j.select(
+        "event_id", "user_id", "t_us",
+        F.coalesce(F.col("t_us_r"), F.lit(-1)).alias("err_t_us"),
+        F.coalesce(F.col("err_id_r"), F.lit(-1)).alias("err_id"),
+        F.coalesce(F.col("err_value_r"), F.lit(-1.0)).alias("err_value"),
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    """Bounded band join: all views in the 24 h up to each purchase by the
+    same user (``temporal.interval_join``'s two-bucket covering join)."""
+    from osm2geojson_lite_spark.temporal import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", t_us.alias("p_t"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id", t_us.alias("t_us"))
+    j = interval_join(purchases, views, on="user_id", left_time="p_t",
+                      right_time="t_us", lower=-86_400_000_000, upper=0,
+                      right_values=["v_id"])
+    return j.select("p_id", "user_id", "p_t",
+                    F.col("t_us_r").alias("v_t"),
+                    F.col("v_id_r").alias("v_id"))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -1146,8 +1192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators are independently gated elsewhere (minhash_signatures by
     # minhash_neardup + ann_recall's signature replay, ngram_jaccard's
     # guarded all-pairs by pytest, doc_sample by the partitioning-invariance
-    # suite, ann_ivf_spill by ann_recall's 5-variant replay) so nothing is
-    # gate-blind if the cutoff recurs.
+    # suite, ann_ivf_spill / ann_lsh / ann_ivf by ann_recall's 5-variant
+    # replay of the same index builds) so nothing is gate-blind if the
+    # cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1173,9 +1220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_lsh_multi": q_ann_lsh_multi,
         "ann_recall": q_ann_recall,
@@ -1203,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_ivf_spill": q_ann_ivf_spill,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -2460,5 +2509,49 @@ def oracle_sql() -> dict[str, str]:
             select user_id, (sum(new_session) + 1)::bigint n_sessions,
                    count(*)::bigint n_events
             from gaps group by user_id
+        """,
+        # asof: latest error at-or-before each click (same user, <= 1 day).
+        # Ties on err t broken by greatest (err_id, err_value) -- the same
+        # lexicographic struct order temporal.asof_join uses.
+        "asof_join": """
+            with clicks as (
+              select event_id, user_id, epoch_us(ts) t_us
+              from events where event_type = 'click'
+            ),
+            errors as (
+              select event_id err_id, user_id, epoch_us(ts) t_us,
+                     round(value, 6) err_value
+              from events where event_type = 'error'
+            ),
+            best as (
+              select c.event_id, e.t_us, e.err_id, e.err_value,
+                     row_number() over (
+                       partition by c.event_id
+                       order by e.t_us desc, e.err_id desc,
+                                e.err_value desc) rn
+              from clicks c join errors e
+                on c.user_id = e.user_id and e.t_us <= c.t_us
+               and c.t_us - e.t_us <= 86400000000
+            )
+            select c.event_id, c.user_id, c.t_us,
+                   coalesce(b.t_us, -1) err_t_us,
+                   coalesce(b.err_id, -1) err_id,
+                   coalesce(b.err_value, -1.0) err_value
+            from clicks c
+            left join best b on b.event_id = c.event_id and b.rn = 1
+        """,
+        "interval_join": """
+            with p as (
+              select event_id p_id, user_id, epoch_us(ts) p_t
+              from events where event_type = 'purchase'
+            ),
+            v as (
+              select event_id v_id, user_id, epoch_us(ts) v_t
+              from events where event_type = 'view'
+            )
+            select p.p_id, p.user_id, p.p_t, v.v_t, v.v_id
+            from p join v
+              on p.user_id = v.user_id
+             and v.v_t between p.p_t - 86400000000 and p.p_t
         """,
     }

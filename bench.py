@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "mixture_epochs",
     "tpch_q1",
     "events_hourly",
+    "asof_join",
+    "interval_join",
 ]
 
 

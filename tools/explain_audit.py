@@ -71,6 +71,11 @@ CHECKS = {
     # full epochs are a map-side explode(sequence); remainder reuses the
     # prefiltered cumulative walk
     "mixture_epochs": ["BroadcastHashJoin", "Window"],
+    # phase-1 per-(key,bucket) max(struct) is a partial+final HashAggregate
+    # (hot keys shrink map-side); carry/in-bucket windows are grid-bounded
+    "asof_join": ["HashAggregate", "Window"],
+    # two-covering-bucket equi-join; the small side broadcasts at bench SF
+    "interval_join": ["BroadcastHashJoin"],
 }
 
 
