@@ -656,6 +656,29 @@ def q_ann_ivf_spill(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantized ANN with exact refine (Jegou et al. 2011 + the
+    FAISS IVFPQ-refine shape): 16 codebooks x 16 centroids over 4-dim
+    subspaces = 8 bytes/vector (32x vs float32 — the compression that fits
+    a 10^12-vector index in cluster RAM); ADC scores a 40-row shortlist
+    per query from codes alone, then ONLY those rows fetch full vectors
+    for an exact 9dp-cosine re-rank.  The oracle replays encode, ADC
+    (sorted-fold contributions), shortlist, and refine against the
+    committed golden codebooks (tests/golden/pq_codebooks.json,
+    independently regenerated by tools/gen_pq_codebooks.py)."""
+    from osm2geojson_lite_spark.pipeline.pq import (
+        pq_codebooks, pq_encode, pq_topk,
+    )
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    cbs = pq_codebooks(emb, m=16, k=16, n_iters=20, sample_size=512, seed=0)
+    codes = pq_encode(emb, cbs)
+    out = pq_topk(queries, codes, k=5, codebooks=cbs,
+                  rerank_with=emb, shortlist=40)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_ann_lsh_multi(spark, sf_dir):
     """Multi-table sign-LSH (the recall fix for single-table sign LSH):
     4 independent tables over disjoint 8-dim slices, Hamming<=2 probes
@@ -1192,9 +1215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators are independently gated elsewhere (minhash_signatures by
     # minhash_neardup + ann_recall's signature replay, ngram_jaccard's
     # guarded all-pairs by pytest, doc_sample by the partitioning-invariance
-    # suite, ann_ivf_spill / ann_lsh / ann_ivf by ann_recall's 5-variant
-    # replay of the same index builds) so nothing is gate-blind if the
-    # cutoff recurs.
+    # suite, ann_ivf_spill / ann_lsh / ann_ivf / ann_ivf_kmeans by
+    # ann_recall's 5-variant replay of the same index builds) so nothing
+    # is gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1223,7 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "ann_topk": q_ann_topk,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_pq": q_ann_pq,
         "ann_lsh_multi": q_ann_lsh_multi,
         "ann_recall": q_ann_recall,
         "token_counts": q_token_counts,
@@ -1252,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_spill": q_ann_ivf_spill,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
     }
 
 
@@ -1438,6 +1462,25 @@ def oracle_sql() -> dict[str, str]:
     kcent_values = ", ".join(
         "({}, [{}]::double[])".format(c, ", ".join(repr(x) for x in cv))
         for c, cv in enumerate(ivf_cents)
+    )
+
+    # committed golden PQ codebooks (independently regenerated by
+    # tools/gen_pq_codebooks.py); n2 = reconstruction norm^2 per centroid,
+    # computed HERE and inlined in both engines (pq.py uses the identical
+    # python expression), so the literal is shared rather than re-derived
+    pq_cb_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "pq_codebooks.json",
+    )
+    with open(pq_cb_path, encoding="utf-8") as f:
+        pq_books = json.load(f)
+    pq_dsub = len(pq_books[0][0])
+    pq_cb_values = ", ".join(
+        "({}, {}, [{}]::double[], {})".format(
+            mi, c, ", ".join(repr(x) for x in cv),
+            repr(round(sum(x * x for x in cv), 9)))
+        for mi, cb in enumerate(pq_books)
+        for c, cv in enumerate(cb)
     )
 
     def _ivf_replay_sql(cent_sql: str, res_name: str, spill: int = 1) -> str:
@@ -1775,6 +1818,76 @@ def oracle_sql() -> dict[str, str]:
             {_ivf_replay_sql(_kcent_sql, 'kivf')}
             select query_id, neighbor_id, rnk::bigint rank
             from kivf where rnk <= 5
+        """,
+        # PQ + refine: encode (9dp L2^2 argmin, lowest code), ADC (9dp
+        # per-subspace dot contributions folded in ascending sorted order),
+        # 40-row shortlist, exact-cosine re-rank — all against the
+        # committed golden codebooks
+        "ann_pq": f"""
+            with {_annq_sql},
+            pq_cb as (
+              select * from (values {pq_cb_values}) t(mi, c, cv, n2)
+            ),
+            pq_d as (
+              select v.vec_id, cb.mi, cb.c,
+                     round(list_sum(list_transform(
+                       generate_series(1, {pq_dsub}),
+                       i -> (v.embedding[cb.mi*{pq_dsub} + i]::double - cb.cv[i])
+                          * (v.embedding[cb.mi*{pq_dsub} + i]::double - cb.cv[i])
+                     )), 9) d
+              from embeddings v cross join pq_cb cb
+            ),
+            pq_codes as (
+              select vec_id, mi, c from (
+                select pq_d.*, row_number() over (
+                  partition by vec_id, mi order by d asc, c asc) rn
+                from pq_d) t where rn = 1
+            ),
+            pq_q as (
+              select query_id, qv,
+                     greatest(sqrt(list_sum(list_transform(
+                       qv, x -> x::double * x::double))), 1e-12) qn
+              from annq
+            ),
+            pq_contrib as (
+              select q.query_id, q.qn, pc.vec_id neighbor_id,
+                     round(list_sum(list_transform(
+                       generate_series(1, {pq_dsub}),
+                       i -> q.qv[pc.mi*{pq_dsub} + i]::double * cb.cv[i]
+                     )), 9) dt,
+                     cb.n2
+              from pq_q q cross join pq_codes pc
+              join pq_cb cb on cb.mi = pc.mi and cb.c = pc.c
+            ),
+            pq_score as (
+              select query_id, neighbor_id,
+                     round(list_reduce(
+                             list_prepend(0.0::double, list_sort(list(dt))),
+                             (x, y) -> x + y)
+                           / (qn * greatest(sqrt(list_reduce(
+                                list_prepend(0.0::double, list_sort(list(n2))),
+                                (x, y) -> x + y)), 1e-12)), 9) cos
+              from pq_contrib group by query_id, qn, neighbor_id
+            ),
+            pq_short as (
+              select query_id, neighbor_id from (
+                select pq_score.*, row_number() over (
+                  partition by query_id
+                  order by cos desc, neighbor_id asc) rn
+                from pq_score) t where rn <= 40
+            ),
+            pq_ref as (
+              select s.query_id, s.neighbor_id,
+                     round({_cos2('q.qv', 'v.embedding')}, 9) cos
+              from pq_short s
+              join annq q using (query_id)
+              join embeddings v on v.vec_id = s.neighbor_id
+            )
+            select query_id, neighbor_id, rn::bigint rank from (
+              select pq_ref.*, row_number() over (
+                partition by query_id
+                order by cos desc, neighbor_id asc) rn
+              from pq_ref) t where rn <= 5
         """,
         "ann_ivf_spill": f"""
             with {_annq_sql},

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "ann_ivf_kmeans",
+    "ann_pq",
     "ann_recall",
     "token_counts",
     "winnow_fingerprint",

@@ -71,6 +71,9 @@ CHECKS = {
     # full epochs are a map-side explode(sequence); remainder reuses the
     # prefiltered cumulative walk
     "mixture_epochs": ["BroadcastHashJoin", "Window"],
+    # ADC over codes is a broadcast cross of 8 queries x code rows (like
+    # ann_topk/ann_int8); the refine join on the 40-row shortlist broadcasts
+    "ann_pq": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
     # phase-1 per-(key,bucket) max(struct) is a partial+final HashAggregate
     # (hot keys shrink map-side); carry/in-bucket windows are grid-bounded
     "asof_join": ["HashAggregate", "Window"],
