@@ -23,6 +23,11 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from osm2geojson_lite_spark.pipeline.pq import (  # noqa: E402
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
 from osm2geojson_lite_spark.pipeline.similarity import (  # noqa: E402
     _assign_cid,
     brute_force_topk,
@@ -48,6 +53,10 @@ def main() -> None:
     }
     cents = kmeans_centroids(emb, n_centroids=16, n_iters=20,
                              sample_size=512, seed=0)
+    books = pq_codebooks(emb, m=16, k=16, n_iters=20, sample_size=512,
+                         seed=0)
+    codes = pq_encode(emb, books).persist()
+    codes.count()
 
     out = {"sf_dir": sf_dir, "k": K, "n_queries_per_panel": 32, "panels": {}}
     for pname, qsrc in panels.items():
@@ -62,7 +71,15 @@ def main() -> None:
 
         p = {"lsh_by_code_bits": {}, "lsh_multi": {}, "ivf_by_n_probe": {},
              "ivf_spill2_by_n_probe": {}, "ivf_kmeans_by_n_probe": {},
-             "ivf_kmeans_spill2_by_n_probe": {}}
+             "ivf_kmeans_spill2_by_n_probe": {},
+             "pq_by_shortlist": {}}
+        # PQ (m=16 x k=16, 8 bytes/vector): raw ADC + refined shortlists
+        p["pq_by_shortlist"]["raw"] = mr(
+            pq_topk(queries, codes, K, codebooks=books))
+        for sl in (40, 80, 160):
+            p["pq_by_shortlist"][sl] = mr(
+                pq_topk(queries, codes, K, codebooks=books,
+                        rerank_with=emb, shortlist=sl))
         for code_bits in (8, 12, 16):
             p["lsh_by_code_bits"][code_bits] = mr(
                 sign_lsh_topk(queries, emb, k=K, code_bits=code_bits))
