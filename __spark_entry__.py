@@ -656,6 +656,22 @@ def q_ann_ivf_spill(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton layout key over the synthesized customer coordinates —
+    pins the bit interleave the zorder_layout writer clusters by (file
+    skipping at 100 TB rides on these exact keys; spatial/zorder.py).
+    The oracle replays quantization and the 16-level interleave with
+    DuckDB bigint bit operators."""
+    from osm2geojson_lite_spark.spatial.zorder import zorder_key_col
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        "c_custkey",
+        zorder_key_col(_lon(k), _lat(k), bits=16).alias("zkey"),
+    )
+
+
 def q_ann_pq(spark, sf_dir):
     """Product-quantized ANN with exact refine (Jegou et al. 2011 + the
     FAISS IVFPQ-refine shape): 16 codebooks x 16 centroids over 4-dim
@@ -1215,9 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators are independently gated elsewhere (minhash_signatures by
     # minhash_neardup + ann_recall's signature replay, ngram_jaccard's
     # guarded all-pairs by pytest, doc_sample by the partitioning-invariance
-    # suite, ann_ivf_spill / ann_lsh / ann_ivf / ann_ivf_kmeans by
-    # ann_recall's 5-variant replay of the same index builds) so nothing
-    # is gate-blind if the cutoff recurs.
+    # suite, ann_ivf_spill / ann_lsh / ann_ivf / ann_ivf_kmeans /
+    # ann_lsh_multi by ann_recall's 5-variant replay of the same index
+    # builds) so nothing is gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1247,7 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "ann_topk": q_ann_topk,
         "ann_pq": q_ann_pq,
-        "ann_lsh_multi": q_ann_lsh_multi,
+        "zorder_key": q_zorder_key,
         "ann_recall": q_ann_recall,
         "token_counts": q_token_counts,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -1276,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_lsh_multi": q_ann_lsh_multi,
     }
 
 
@@ -1481,6 +1498,12 @@ def oracle_sql() -> dict[str, str]:
             repr(round(sum(x * x for x in cv), 9)))
         for mi, cb in enumerate(pq_books)
         for c, cv in enumerate(cb)
+    )
+
+    # 16-level Morton interleave as explicit bigint bit algebra
+    _zorder_terms = " | ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(16)
     )
 
     def _ivf_replay_sql(cent_sql: str, res_name: str, spill: int = 1) -> str:
@@ -1818,6 +1841,19 @@ def oracle_sql() -> dict[str, str]:
             {_ivf_replay_sql(_kcent_sql, 'kivf')}
             select query_id, neighbor_id, rnk::bigint rank
             from kivf where rnk <= 5
+        """,
+        # Morton key: quantize both axes to 2^16 with the engine's clamp,
+        # interleave with bigint bit operators (x even bits, y odd)
+        "zorder_key": f"""
+            with axes as (
+              select c_custkey,
+                     greatest(0, least(65535,
+                       floor((({lon_c}) - (-180.0)) / 360.0 * 65536)::bigint)) x,
+                     greatest(0, least(65535,
+                       floor((({lat_c}) - (-90.0)) / 180.0 * 65536)::bigint)) y
+              from customer
+            )
+            select c_custkey, ({_zorder_terms}) zkey from axes
         """,
         # PQ + refine: encode (9dp L2^2 argmin, lowest code), ADC (9dp
         # per-subspace dot contributions folded in ascending sorted order),

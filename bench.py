@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "asof_join",
     "interval_join",
+    "zorder_key",
 ]
 
 

@@ -71,6 +71,8 @@ CHECKS = {
     # full epochs are a map-side explode(sequence); remainder reuses the
     # prefiltered cumulative walk
     "mixture_epochs": ["BroadcastHashJoin", "Window"],
+    # pure bit-algebra projection over the scan — no Exchange at all
+    "zorder_key": ["ReadSchema"],
     # ADC over codes is a broadcast cross of 8 queries x code rows (like
     # ann_topk/ann_int8); the refine join on the 40-row shortlist broadcasts
     "ann_pq": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
