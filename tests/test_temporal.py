@@ -111,6 +111,31 @@ def test_asof_hot_key_and_partitioning_invariance(spark):
         assert as_map == want
 
 
+def test_asof_composite_key(spark):
+    """on=[k1, k2]: matches must respect BOTH key columns."""
+    rng = random.Random(8)
+    left = [(i, rng.randrange(3), rng.randrange(2), rng.randrange(1000), 0.0)
+            for i in range(150)]
+    right = [(1000 + i, rng.randrange(3), rng.randrange(2),
+              rng.randrange(1000), float(i)) for i in range(120)]
+    want = {}
+    for lid, k1, k2, lt, _ in left:
+        best = None
+        for rid, rk1, rk2, rt, rv in right:
+            if (rk1, rk2) == (k1, k2) and rt <= lt:
+                cand = (rt, rid, rv)
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        want[lid] = best
+    ldf = spark.createDataFrame(left, ["lid", "k1", "k2", "t", "lv"])
+    rdf = spark.createDataFrame(right, ["rid", "k1", "k2", "t", "rv"])
+    got = asof_join(ldf, rdf, on=["k1", "k2"], left_time="t", right_time="t",
+                    right_values=["rid", "rv"]).collect()
+    as_map = {r["lid"]: (r["t_r"], r["rid_r"], r["rv_r"])
+              if r["rid_r"] is not None else None for r in got}
+    assert as_map == want
+
+
 def _interval_oracle(left, right, lower, upper):
     out = set()
     for lid, k, lt, _ in left:
