@@ -695,6 +695,36 @@ def q_ann_pq(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (IVFADC — Jegou et al. 2011 SIII, the FAISS billion-scale
+    index): a trained coarse quantizer routes each vector to an inverted
+    list, PQ encodes the RESIDUAL (vector - centroid) into 16 4-bit codes,
+    queries probe 8 lists and ADC-score candidates against the
+    centroid+codeword reconstruction, then a 40-row shortlist re-ranks
+    exactly.  Index rows are (cid, 8 bytes) — at 100 TB the cid is the
+    partition key, so a query reads n_probe lists of 8-byte rows, never
+    floats.  The oracle replays coarse assignment, residual encode, probe
+    selection, reconstruction ADC (sorted-fold contributions), shortlist,
+    and refine against the committed goldens (ivf_centroids.json +
+    ivfpq_codebooks.json, independently regenerated by
+    tools/gen_ivf_centroids.py / tools/gen_ivfpq_codebooks.py)."""
+    from osm2geojson_lite_spark.pipeline.pq import (
+        ivfpq_codebooks, ivfpq_encode, ivfpq_topk,
+    )
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=20,
+                             sample_size=512, seed=0)
+    cbs = ivfpq_codebooks(emb, cents, m=16, k=16, n_iters=20,
+                          sample_size=512, seed=0)
+    enc = ivfpq_encode(emb, cents, cbs)
+    out = ivfpq_topk(queries, enc, k=5, coarse_centroids=cents,
+                     codebooks=cbs, n_probe=8, rerank_with=emb,
+                     shortlist=40)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_ann_lsh_multi(spark, sf_dir):
     """Multi-table sign-LSH (the recall fix for single-table sign LSH):
     4 independent tables over disjoint 8-dim slices, Hamming<=2 probes
@@ -1233,7 +1263,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # guarded all-pairs by pytest, doc_sample by the partitioning-invariance
     # suite, ann_ivf_spill / ann_lsh / ann_ivf / ann_ivf_kmeans /
     # ann_lsh_multi by ann_recall's 5-variant replay of the same index
-    # builds) so nothing is gate-blind if the cutoff recurs.
+    # builds, ann_int8 by test_packing_quantize.py's python-oracle +
+    # topk-vs-exact pins with its quantization math gated via
+    # embed_quantize, mixture_epochs by test_pipeline_ops.py's
+    # oversampling invariants with the family's shared prefilter gated
+    # via mixture_sample/mixture_tokens) so nothing is gate-blind if the
+    # cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1263,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "ann_topk": q_ann_topk,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "zorder_key": q_zorder_key,
         "ann_recall": q_ann_recall,
         "token_counts": q_token_counts,
@@ -1272,12 +1308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "mixture_sample": q_mixture_sample,
         "mixture_tokens": q_mixture_tokens,
-        "mixture_epochs": q_mixture_epochs,
         "embedding_neardup": q_embedding_neardup,
         "passage_dedup": q_passage_dedup,
         "pack_sequences": q_pack_sequences,
         "embed_quantize": q_embed_quantize,
-        "ann_int8": q_ann_int8,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -1288,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
+        "ann_int8": q_ann_int8,
+        "mixture_epochs": q_mixture_epochs,
         "ann_ivf_spill": q_ann_ivf_spill,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1497,6 +1533,23 @@ def oracle_sql() -> dict[str, str]:
             mi, c, ", ".join(repr(x) for x in cv),
             repr(round(sum(x * x for x in cv), 9)))
         for mi, cb in enumerate(pq_books)
+        for c, cv in enumerate(cb)
+    )
+
+    # committed golden IVF-PQ residual codebooks (independently regenerated
+    # by tools/gen_ivfpq_codebooks.py); trained on residuals vs the golden
+    # IVF centroids, so the oracle replays encode/ADC off both tables
+    ipq_cb_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "ivfpq_codebooks.json",
+    )
+    with open(ipq_cb_path, encoding="utf-8") as f:
+        ipq_books = json.load(f)
+    ipq_dsub = len(ipq_books[0][0])
+    ipq_cb_values = ", ".join(
+        "({}, {}, [{}]::double[])".format(
+            mi, c, ", ".join(repr(x) for x in cv))
+        for mi, cb in enumerate(ipq_books)
         for c, cv in enumerate(cb)
     )
 
@@ -1924,6 +1977,104 @@ def oracle_sql() -> dict[str, str]:
                 partition by query_id
                 order by cos desc, neighbor_id asc) rn
               from pq_ref) t where rn <= 5
+        """,
+        "ann_ivfpq": f"""
+            with {_annq_sql},
+            ikc as (select cid, cv from (values {kcent_values}) t(cid, cv)),
+            ipq_cb as (
+              select * from (values {ipq_cb_values}) t(mi, c, cv)
+            ),
+            ipq_a0 as (
+              select v.vec_id, v.embedding, c.cid,
+                     round({_cos2('v.embedding', 'c.cv')}, 9) cos
+              from embeddings v cross join ikc c
+            ),
+            ipq_asg as (
+              select vec_id, embedding, cid from (
+                select ipq_a0.*, row_number() over (
+                  partition by vec_id order by cos desc, cid asc) rn
+                from ipq_a0) t where rn = 1
+            ),
+            ipq_res as (
+              select a.vec_id, a.cid,
+                     list_transform(generate_series(1, len(a.embedding)),
+                       i -> a.embedding[i]::double - kc.cv[i]) rv
+              from ipq_asg a join ikc kc using (cid)
+            ),
+            ipq_d as (
+              select r.vec_id, r.cid, cb.mi, cb.c,
+                     round(list_sum(list_transform(
+                       generate_series(1, {ipq_dsub}),
+                       i -> (r.rv[cb.mi*{ipq_dsub} + i] - cb.cv[i])
+                          * (r.rv[cb.mi*{ipq_dsub} + i] - cb.cv[i])
+                     )), 9) d
+              from ipq_res r cross join ipq_cb cb
+            ),
+            ipq_codes as (
+              select vec_id, cid, mi, c from (
+                select ipq_d.*, row_number() over (
+                  partition by vec_id, mi order by d asc, c asc) rn
+                from ipq_d) t where rn = 1
+            ),
+            ipq_ps as (
+              select q.query_id, q.qv,
+                     greatest(sqrt(list_sum(list_transform(
+                       q.qv, x -> x::double * x::double))), 1e-12) qn,
+                     c.cid, round({_cos2('q.qv', 'c.cv')}, 9) cos
+              from annq q cross join ikc c
+            ),
+            ipq_probes as (
+              select query_id, qv, qn, cid from (
+                select ipq_ps.*, row_number() over (
+                  partition by query_id order by cos desc, cid asc) rn
+                from ipq_ps) t where rn <= 8
+            ),
+            ipq_contrib as (
+              select q.query_id, q.qn, pc.vec_id neighbor_id,
+                     round(list_sum(list_transform(
+                       generate_series(1, {ipq_dsub}),
+                       i -> q.qv[pc.mi*{ipq_dsub} + i]::double
+                          * (kc.cv[pc.mi*{ipq_dsub} + i]::double + cb.cv[i])
+                     )), 9) dt,
+                     round(list_sum(list_transform(
+                       generate_series(1, {ipq_dsub}),
+                       i -> (kc.cv[pc.mi*{ipq_dsub} + i]::double + cb.cv[i])
+                          * (kc.cv[pc.mi*{ipq_dsub} + i]::double + cb.cv[i])
+                     )), 9) n2
+              from ipq_probes q
+              join ipq_codes pc using (cid)
+              join ipq_cb cb on cb.mi = pc.mi and cb.c = pc.c
+              join ikc kc on kc.cid = pc.cid
+            ),
+            ipq_score as (
+              select query_id, neighbor_id,
+                     round(list_reduce(
+                             list_prepend(0.0::double, list_sort(list(dt))),
+                             (x, y) -> x + y)
+                           / (qn * greatest(sqrt(list_reduce(
+                                list_prepend(0.0::double, list_sort(list(n2))),
+                                (x, y) -> x + y)), 1e-12)), 9) cos
+              from ipq_contrib group by query_id, qn, neighbor_id
+            ),
+            ipq_short as (
+              select query_id, neighbor_id from (
+                select ipq_score.*, row_number() over (
+                  partition by query_id
+                  order by cos desc, neighbor_id asc) rn
+                from ipq_score) t where rn <= 40
+            ),
+            ipq_ref as (
+              select s.query_id, s.neighbor_id,
+                     round({_cos2('q.qv', 'v.embedding')}, 9) cos
+              from ipq_short s
+              join annq q using (query_id)
+              join embeddings v on v.vec_id = s.neighbor_id
+            )
+            select query_id, neighbor_id, rn::bigint rank from (
+              select ipq_ref.*, row_number() over (
+                partition by query_id
+                order by cos desc, neighbor_id asc) rn
+              from ipq_ref) t where rn <= 5
         """,
         "ann_ivf_spill": f"""
             with {_annq_sql},
