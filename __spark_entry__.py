@@ -1098,6 +1098,41 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_bm25_indexed(spark, sf_dir):
+    """BM25 top-10 over a PRE-BUILT inverted index (corpus_term_stats +
+    corpus_globals → bm25_topk_indexed): the standing-workload face of
+    `bm25_search`.  Same query panel, so the output is BYTE-identical to
+    `bm25_search` (pinned by tests/test_search_spans.py's
+    test_bm25_indexed_equals_scan); the oracle replays the index path
+    itself — full postings table first, probe second — so the gate
+    exercises the index build, not just the final scores.  At 100 TB the
+    postings table is written once bucketed by term and each query panel
+    touches only its terms' buckets."""
+    docs = _read(spark, sf_dir, "documents")
+    from osm2geojson_lite_spark.pipeline.search import (
+        bm25_topk_indexed,
+        corpus_globals,
+        corpus_term_stats,
+    )
+    from osm2geojson_lite_spark.pipeline.text import tokens_col
+
+    qpanel = docs.filter(F.col("doc_id").isin(3, 17, 101, 202)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_col(F.col("text")), 1, 6), " ").alias(
+            "query_text"
+        ),
+    )
+    out = bm25_topk_indexed(
+        qpanel, corpus_term_stats(docs), corpus_globals(docs), k=10
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "score",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_ngram_topk(spark, sf_dir):
     """Corpus-wide most frequent token 2-grams (the boilerplate signal):
     explode -> groupBy(gram, doc) map-side partial -> groupBy(gram) ->
@@ -1267,8 +1302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # topk-vs-exact pins with its quantization math gated via
     # embed_quantize, mixture_epochs by test_pipeline_ops.py's
     # oversampling invariants with the family's shared prefilter gated
-    # via mixture_sample/mixture_tokens) so nothing is gate-blind if the
-    # cutoff recurs.
+    # via mixture_sample/mixture_tokens, bm25_indexed by
+    # test_bm25_indexed_equals_scan's byte-equality to the green
+    # bm25_search) so nothing is gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1329,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_lsh_multi": q_ann_lsh_multi,
+        "bm25_indexed": q_bm25_indexed,
     }
 
 
@@ -2695,6 +2732,55 @@ def oracle_sql() -> dict[str, str]:
                        / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / g.avgdl)),
                      9) c
               from qt q join tf t using (term) join dfq d using (term)
+              cross join g
+            ),
+            s as (
+              select query_id, doc_id,
+                     round(list_reduce(
+                       list_prepend(0.0::double, list_sort(list(c))),
+                       (x, y) -> x + y), 6) score
+              from m group by query_id, doc_id
+            )
+            select query_id::bigint query_id, doc_id::bigint doc_id,
+                   score, rnk::bigint rank
+            from (select s.*, row_number() over (partition by query_id
+                    order by score desc, doc_id) rnk from s)
+            where rnk <= 10
+        """,
+        # The index-path replay: the FULL postings table (tf/dl/df over every
+        # term, the corpus_term_stats build) is constructed first and only
+        # then probed by the query-term set — unlike bm25_search's oracle,
+        # which filters to matched terms before aggregating.  Same scores
+        # (global df == matched-set df per term), different — index-shaped —
+        # dataflow, so the gate exercises the index build itself.
+        "bm25_indexed": f"""
+            with tk as (select doc_id, {_TOKENS_SQL} tk from documents),
+            postings as (
+              select doc_id, term, count(*) tf, max(dl) dl
+              from (select doc_id, len(tk) dl, unnest(tk) term from tk)
+              group by doc_id, term
+            ),
+            dfq as (select term, count(*) df from postings group by term),
+            g as (select count(*) n_docs, avg(len(tk)) avgdl from tk),
+            q as (
+              select doc_id query_id,
+                     array_to_string(list_slice(tk, 1, 6), ' ') qt
+              from tk where doc_id in (3, 17, 101, 202)
+            ),
+            qt as (
+              select query_id,
+                     unnest(list_distinct(list_filter(
+                       string_split(lower(qt), ' '), x -> x <> ''))) term
+              from q
+            ),
+            m as (
+              select q.query_id, t.doc_id,
+                     round(
+                       round(ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5)), 9)
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / g.avgdl)),
+                     9) c
+              from qt q join postings t using (term) join dfq d using (term)
               cross join g
             ),
             s as (

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "dedup_clusters",
     "bm25_search",
+    "bm25_indexed",
     "ngram_topk",
     "shared_spans",
     "embed_clusters",

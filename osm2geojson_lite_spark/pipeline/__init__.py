@@ -26,7 +26,8 @@ from .dedup import (
     shingles_col,
     simhash,
 )
-from .search import bm25_topk, corpus_term_stats, ngram_topk
+from .search import (bm25_topk, bm25_topk_indexed, corpus_globals,
+                     corpus_term_stats, ngram_topk)
 from .similarity import (
     brute_force_topk,
     cluster_sizes,
@@ -65,6 +66,8 @@ __all__ = [
     "shingles_col",
     "simhash",
     "bm25_topk",
+    "bm25_topk_indexed",
+    "corpus_globals",
     "corpus_term_stats",
     "ngram_topk",
     "brute_force_topk",

@@ -149,6 +149,89 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int, *,
     )
 
 
+def corpus_globals(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The one-row corpus-wide statistics table BM25 needs next to the
+    postings: ``(n_docs, avgdl)``.  ``avgdl`` averages over ALL documents
+    (including ones matching no standing query), exactly like
+    :func:`bm25_topk`'s inline computation — sum-of-ints / count, so the
+    double is bit-identical at any partitioning.  At 100 TB this row is
+    written once with the index and broadcast at query time."""
+    return docs.select(
+        tokens_col(F.col(text_col)).alias("toks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+
+
+def bm25_topk_indexed(queries: DataFrame, postings: DataFrame,
+                      globals_df: DataFrame, k: int, *,
+                      query_id: str = "query_id", q_text: str = "query_text",
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 top-k over a PRE-BUILT inverted index — the standing-workload
+    face of :func:`bm25_topk`: (query_id, doc_id, score, rank).
+
+    ``postings`` is a :func:`corpus_term_stats` table (doc_id, term, tf,
+    dl, df) and ``globals_df`` a :func:`corpus_globals` row.  Given the
+    same corpus, output is IDENTICAL to :func:`bm25_topk` (pinned by
+    ``tests/test_search_ops.py``): the per-term ``df`` in the index is the
+    global document frequency, which equals the matched-set df the scan
+    path computes, and every rounding/fold step is shared.
+
+    Scale shape — why this is the 100 TB plan for repeated queries:
+    :func:`bm25_topk` re-scans and re-tokenizes the corpus per query panel;
+    here the corpus text is tokenized ONCE at index-build time, and a query
+    touches only its terms' postings rows: the distinct query-term set is
+    broadcast onto the postings (a semi-probe with no corpus shuffle), so
+    with the index written bucketed/partitioned by ``term`` the scan prunes
+    to the probed buckets and the per-query cost is O(matching postings),
+    independent of corpus size.  The candidate set per query is the union
+    of its terms' postings lists — the classic inverted-index bound.
+    """
+    qt = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(q_text)))).alias("term"),
+    )
+    qterms = qt.select("term").distinct()
+    matched = postings.join(F.broadcast(qterms), "term")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        9,
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        9,
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(matched, "term")
+        .crossJoin(F.broadcast(globals_df))
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_list("c")).alias("cs"))
+        .select(
+            "query_id", "doc_id",
+            F.round(
+                F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def ngram_topk(docs: DataFrame, *, id_col: str = "doc_id",
                text_col: str = "text", n: int = 2,
                top: int = 20) -> DataFrame:

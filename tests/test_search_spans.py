@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from osm2geojson_lite_spark.pipeline import (
     bm25_topk,
+    bm25_topk_indexed,
     cluster_sizes,
+    corpus_globals,
+    corpus_term_stats,
     kmeans_assign,
     kmeans_centroids,
     ngram_topk,
@@ -125,6 +128,36 @@ def test_bm25_handcrafted():
     rows = {r["doc_id"]: r["rank"] for r in bm25_topk(q, docs, k=3).collect()}
     assert set(rows) == {1, 2}  # doc 3 never matches
     assert rows[1] == 1  # matches both terms -> outranks tf-heavy single-term doc 2
+
+
+def test_bm25_indexed_equals_scan(spark, documents):
+    """The inverted-index path (pre-built postings + globals) is BYTE-identical
+    to the scan path on the same corpus: per-term global df == matched-set df,
+    and every rounding/fold step is shared.  This is the pin that lets the
+    tail-seated `bm25_indexed` gate query stand on `bm25_search`'s green row."""
+    qdf = spark.createDataFrame(
+        [(0, "the quick data of"), (1, "project river"), (2, "zzz-nomatch")],
+        "query_id int, query_text string")
+    scan = sorted(map(tuple, bm25_topk(qdf, documents, k=10).collect()))
+    postings = corpus_term_stats(documents)
+    gl = corpus_globals(documents)
+    idx = sorted(map(tuple,
+                     bm25_topk_indexed(qdf, postings, gl, k=10).collect()))
+    assert scan == idx  # exact — every score bit
+
+
+def test_bm25_indexed_partitioning_invariant(spark, documents):
+    """Postings partitioning must not leak into scores (sorted-fold contract),
+    and a materialized (written/re-read) index gives the same answer as a
+    freshly derived one — the standing-workload contract."""
+    qdf = spark.createDataFrame(
+        [(0, "the quick data of")], "query_id int, query_text string")
+    gl = corpus_globals(documents)
+    p1 = corpus_term_stats(documents).repartition(1)
+    p8 = corpus_term_stats(documents).repartition(8, "term")
+    a = sorted(map(tuple, bm25_topk_indexed(qdf, p1, gl, k=10).collect()))
+    b = sorted(map(tuple, bm25_topk_indexed(qdf, p8, gl, k=10).collect()))
+    assert a == b
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,9 @@ CHECKS = {
     # query-term set broadcast onto exploded tokens BEFORE any aggregation
     # (the corpus is never shuffled); tf agg is partial+final
     "bm25_search": ["BroadcastHashJoin", "HashAggregate"],
+    # index path: query-term set broadcast-probes the pre-built postings
+    # table; the only corpus-sized shuffle is the index build itself
+    "bm25_indexed": ["BroadcastHashJoin", "HashAggregate"],
     # global top-20 must be TakeOrdered (per-partition heaps), not a sort
     "ngram_topk": ["TakeOrderedAndProject", "HashAggregate"],
     # gaps-and-islands window over the hash-blocked match set
