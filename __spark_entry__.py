@@ -44,7 +44,11 @@ from osm2geojson_lite_spark.pipeline.search import (  # noqa: E402
     bm25_topk,
     ngram_topk,
 )
-from osm2geojson_lite_spark.pipeline.packing import pack_sequences  # noqa: E402
+from osm2geojson_lite_spark.pipeline.packing import (  # noqa: E402
+    chunk_documents,
+    pack_sequences,
+)
+from osm2geojson_lite_spark.pipeline.text import unigram_logprob  # noqa: E402
 from osm2geojson_lite_spark.pipeline.quantize import (  # noqa: E402
     quantize_embeddings,
     quantized_topk,
@@ -776,6 +780,26 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking (32-token windows, stride 24 — overlapping, the
+    retrieval-prep shape): one row per chunk with its token count and text.
+    Pure map-side explode+slice over a single materialized tokenization —
+    no shuffle, no UDF; a 100 TB corpus chunks at scan speed."""
+    out = chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+    return out.select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Mean corpus-unigram log-probability per document (the perplexity-proxy
+    quality score).  Deterministic across engines: per-distinct-term
+    contributions tf*ln(c/T) rounded to 9dp and folded in ascending sorted
+    order, mean rounded to 6dp."""
+    out = unigram_logprob(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens", "avg_logprob")
+
+
 def q_pipeline_clean(spark, sf_dir):
     from osm2geojson_lite_spark.pipeline.compose import clean_corpus
 
@@ -1304,7 +1328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oversampling invariants with the family's shared prefilter gated
     # via mixture_sample/mixture_tokens, bm25_indexed by
     # test_bm25_indexed_equals_scan's byte-equality to the green
-    # bm25_search) so nothing is gate-blind if the cutoff recurs.
+    # bm25_search, text_quality/token_counts by their python-oracle +
+    # partitioning-invariance pytest pins over the same tokens_col
+    # kernel a dozen first-50 queries gate) so nothing is gate-blind if
+    # the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1323,7 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
-        "text_quality": q_text_quality,
+        "doc_chunks": q_doc_chunks,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embed_clusters": q_embed_clusters,
@@ -1337,7 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "zorder_key": q_zorder_key,
         "ann_recall": q_ann_recall,
-        "token_counts": q_token_counts,
+        "unigram_logprob": q_unigram_logprob,
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
         "media_decode": q_media_decode,
@@ -1366,6 +1393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_lsh_multi": q_ann_lsh_multi,
         "bm25_indexed": q_bm25_indexed,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
     }
 
 
@@ -2208,6 +2237,43 @@ def oracle_sql() -> dict[str, str]:
               from g
             )
             select doc_id, unnest(wins) fp from w
+        """,
+        "doc_chunks": f"""
+            with tk as (select doc_id, {_TOKENS_SQL} tk from documents),
+            st as (
+              select doc_id, tk, len(tk) n, unnest(range(1, len(tk) + 1, 24)) s
+              from tk where len(tk) > 0
+            )
+            select doc_id,
+                   ((s - 1) // 24)::bigint chunk_id,
+                   least(32, n - s + 1)::bigint n_tokens,
+                   array_to_string(list_slice(tk, s, s + 31), ' ') chunk_text
+            from st
+        """,
+        "unigram_logprob": f"""
+            with tk as (select doc_id, {_TOKENS_SQL} tk from documents),
+            tf as (
+              select doc_id, term, count(*) tf
+              from (select doc_id, unnest(tk) term from tk)
+              group by doc_id, term
+            ),
+            c as (select term, sum(tf) c from tf group by term),
+            tot as (select sum(c) t from c),
+            lp as (
+              select doc_id, tf, round(tf * ln(c / t), 9) lp
+              from tf join c using (term) cross join tot
+            ),
+            s as (
+              select doc_id, sum(tf) n_tokens,
+                     round(list_reduce(
+                       list_prepend(0.0::double, list_sort(list(lp))),
+                       (x, y) -> x + y) / sum(tf), 6) avg_logprob
+              from lp group by doc_id
+            )
+            select d.doc_id, coalesce(s.n_tokens, 0)::bigint n_tokens,
+                   s.avg_logprob
+            from (select distinct doc_id from documents) d
+            left join s using (doc_id)
         """,
         "token_counts": f"""
             select doc_id,

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "ann_pq",
     "ann_recall",
     "token_counts",
+    "doc_chunks",
+    "unigram_logprob",
     "winnow_fingerprint",
     "pipeline_clean",
     "media_decode",

@@ -41,6 +41,7 @@ from .similarity import (
 )
 from .cluster import connected_components, near_dup_clusters
 from .compose import clean_corpus
+from .packing import chunk_documents, pack_sequences
 from .scrub import decontaminate, pii_scrub
 from .text import (
     doc_fingerprint,
@@ -49,6 +50,7 @@ from .text import (
     repetition_stats,
     token_counts,
     token_hash_col,
+    unigram_logprob,
     winnowing_fingerprints,
 )
 
@@ -84,6 +86,9 @@ __all__ = [
     "quality_counts",
     "repetition_stats",
     "token_counts",
+    "chunk_documents",
+    "pack_sequences",
+    "unigram_logprob",
     "token_hash_col",
     "winnowing_fingerprints",
 ]

@@ -260,3 +260,69 @@ def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
         frac("top_c", "n_ngrams").alias("top_ngram_frac"),
         frac("dup_c", "n_ngrams").alias("dup_ngram_frac"),
     )
+
+
+def unigram_logprob(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap perplexity proxy quality signal (a KenLM-style
+    LM score without the LM): gibberish and rare-token soup scores low,
+    natural prose scores high.  Output: ``(doc_id, n_tokens, avg_logprob)``
+    with ``avg_logprob = (Σ_{t∈doc} tf_t·ln(c_t/T)) / n_tokens`` where
+    ``c_t`` is the corpus count of token ``t`` and ``T`` the corpus total;
+    zero-token docs keep a NULL score.
+
+    Determinism contract (hash-comparable across engines): per-distinct-term
+    contributions ``tf·ln(c/T)`` are rounded to 9 dp and folded in ascending
+    sorted order; final mean rounded to 6 dp.
+
+    Scale shape: reuses the inverted-index build — ONE corpus-sized shuffle
+    makes the (doc, term, tf) table with map-side partial aggregation; term
+    counts are a second, distinct-row-sized aggregation joined back on
+    ``term`` (both sides already term-clustered from the first shuffle); the
+    per-doc fold is a partial-agg groupBy.  The corpus total is a one-row
+    broadcast.  No token is out-of-vocabulary by construction (the model is
+    the corpus itself), so there is no smoothing knob to disagree on.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    contrib = F.round(
+        F.col("tf") * F.log(F.col("c") / F.col("t")), 9
+    )
+    scored = (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", contrib.alias("lp"), "tf")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.array_sort(F.collect_list("lp")).alias("lps"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.aggregate(F.col("lps"), F.lit(0.0), lambda a, x: a + x)
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            "avg_logprob",
+        )
+    )

@@ -31,6 +31,11 @@ CHECKS = {
     "ann_lsh": ["BroadcastHashJoin"],
     "ann_ivf": ["BroadcastHashJoin"],
     "token_counts": ["ReadSchema"],
+    # map-side explode+slice over one materialized tokenization — the plan
+    # must stay shuffle-free (Generate over the scan, no Exchange)
+    "doc_chunks": ["ReadSchema"],
+    # tf shuffle with map-side partial agg; corpus total is a broadcast row
+    "unigram_logprob": ["HashAggregate", "BroadcastNestedLoopJoin"],
     # partial+final HashAggregate = map-side combine before the exchange;
     # codegen ids are not rendered in pre-execution AQE formatted plans
     "tpch_q1": ["PushedFilters", "HashAggregate"],
