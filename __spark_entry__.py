@@ -780,6 +780,47 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_geojson_read(spark, sf_dir):
+    """GeoJSON feature-table source (the consuming half of the engine's
+    produce/consume loop): both engines build the SAME compact
+    FeatureCollection strings from the customer table (integer coordinates
+    only, so number formatting is engine-independent), then explode them
+    into one row per feature with raw-JSON properties/geometry and a
+    regex-derived bbox.  Spark side is a pure map-side plan: one from_json
+    raw capture per doc, posexplode, one json_tuple per feature."""
+    from osm2geojson_lite_spark.sources.geojson import geojson_features
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    x0 = (F.pmod(F.col("c_custkey"), F.lit(340)) - 170).cast("long")
+    y0 = (F.pmod(F.col("c_custkey") * 7, F.lit(160)) - 80).cast("long")
+    s = lambda c: c.cast("string")  # noqa: E731
+    g = F.concat(
+        F.lit('{"type":"FeatureCollection","features":[{"type":"Feature",'
+              '"id":"n'),
+        s(F.col("c_custkey")),
+        F.lit('","properties":{"name":"'),
+        F.col("c_name"),
+        F.lit('"},"geometry":{"type":"Point","coordinates":['),
+        s(x0 + 1), F.lit(","), s(y0 + 1),
+        F.lit(']}},{"type":"Feature","properties":{},"geometry":'
+              '{"type":"Polygon","coordinates":[[['),
+        s(x0), F.lit(","), s(y0), F.lit("],["),
+        s(x0 + 2), F.lit(","), s(y0), F.lit("],["),
+        s(x0 + 2), F.lit(","), s(y0 + 1), F.lit("],["),
+        s(x0), F.lit(","), s(y0 + 1), F.lit("],["),
+        s(x0), F.lit(","), s(y0),
+        F.lit("]]]}}]}"),
+    )
+    docs = cust.select(F.col("c_custkey").alias("doc_id"), g.alias("geojson"))
+    out = geojson_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("feature_idx").cast("bigint").alias("feature_idx"),
+        "geom_type", "feature_id", "properties", "geometry", "n_coords",
+        "bbox_w", "bbox_s", "bbox_e", "bbox_n",
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Token-window chunking (32-token windows, stride 24 — overlapping, the
     retrieval-prep shape): one row per chunk with its token count and text.
@@ -1330,7 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_bm25_indexed_equals_scan's byte-equality to the green
     # bm25_search, text_quality/token_counts by their python-oracle +
     # partitioning-invariance pytest pins over the same tokens_col
-    # kernel a dozen first-50 queries gate) so nothing is gate-blind if
+    # kernel a dozen first-50 queries gate, doc_fingerprint by its
+    # full-value python-md5-oracle pin) so nothing is gate-blind if
     # the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
@@ -1352,7 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_chunks": q_doc_chunks,
         "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
+        "geojson_read": q_geojson_read,
         "embed_clusters": q_embed_clusters,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
@@ -1395,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -2237,6 +2280,36 @@ def oracle_sql() -> dict[str, str]:
               from g
             )
             select doc_id, unnest(wins) fp from w
+        """,
+        "geojson_read": """
+            with c as (
+              select c_custkey::bigint doc_id, c_name,
+                     (c_custkey % 340 - 170)::bigint x0,
+                     ((c_custkey * 7) % 160 - 80)::bigint y0
+              from customer where c_custkey <= 300
+            )
+            select doc_id, 0::bigint feature_idx,
+                   'Point' geom_type,
+                   'n' || doc_id::varchar feature_id,
+                   '{"name":"' || c_name || '"}' properties,
+                   '{"type":"Point","coordinates":[' || (x0 + 1)::varchar
+                     || ',' || (y0 + 1)::varchar || ']}' geometry,
+                   1::bigint n_coords,
+                   (x0 + 1)::double bbox_w, (y0 + 1)::double bbox_s,
+                   (x0 + 1)::double bbox_e, (y0 + 1)::double bbox_n
+            from c
+            union all
+            select doc_id, 1::bigint, 'Polygon', NULL::varchar,
+                   '{}',
+                   '{"type":"Polygon","coordinates":[[['
+                     || x0::varchar || ',' || y0::varchar || '],['
+                     || (x0 + 2)::varchar || ',' || y0::varchar || '],['
+                     || (x0 + 2)::varchar || ',' || (y0 + 1)::varchar || '],['
+                     || x0::varchar || ',' || (y0 + 1)::varchar || '],['
+                     || x0::varchar || ',' || y0::varchar || ']]]}',
+                   5::bigint,
+                   x0::double, y0::double, (x0 + 2)::double, (y0 + 1)::double
+            from c
         """,
         "doc_chunks": f"""
             with tk as (select doc_id, {_TOKENS_SQL} tk from documents),

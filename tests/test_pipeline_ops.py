@@ -291,6 +291,22 @@ def test_doc_fingerprint_whitespace_invariant(spark):
     assert out[0] == out[1] == out[2]
 
 
+def test_doc_fingerprint_matches_python_oracle(spark):
+    """Full value pin (not just invariance): md5 of lowercased,
+    whitespace-collapsed, trimmed text — the tail-seat gate pin for
+    `doc_fingerprint`."""
+    import hashlib
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {int(r["doc_id"]): r["fingerprint"]
+           for r in doc_fingerprint(docs).collect()}
+    for d, t in [(int(r["doc_id"]), r["text"]) for r in docs.collect()]:
+        want = hashlib.md5(
+            re.sub(r"\s+", " ", t.lower()).strip().encode()).hexdigest()
+        assert got[d] == want, d
+
+
 def test_media_decode_recovers_encoded_metadata(spark):
     """The generator states the metadata each blob was encoded with
     (media_spec) — the decoder must recover it by parsing bytes."""

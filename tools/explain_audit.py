@@ -89,6 +89,9 @@ CHECKS = {
     "asof_join": ["HashAggregate", "Window"],
     # two-covering-bucket equi-join; the small side broadcasts at bench SF
     "interval_join": ["BroadcastHashJoin"],
+    # map-side only: from_json raw capture + posexplode + json_tuple over
+    # the scan — one Generate, no Exchange, no UDF
+    "geojson_read": ["ReadSchema"],
 }
 
 
