@@ -560,6 +560,28 @@ def q_simhash(spark, sf_dir):
     return simhash(docs, bits=16)
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """Banded Hamming near-dup join (Manku et al. 2007): 250 base docs plus
+    50 one-token-append near-copies, 32-bit fingerprints, Hamming <= 3 via
+    4-band pigeonhole candidates + popcount refine.  The oracle brute-forces
+    all pairs over the same fingerprints — equality IS the banding-exactness
+    proof at gate scale."""
+    from osm2geojson_lite_spark.pipeline import simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    mut = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    out = simhash_near_duplicates(
+        base.unionByName(mut), bits=32, max_hamming=3
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     out = ngram_jaccard_pairs(docs, threshold=0.02)
@@ -1392,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "doc_chunks": q_doc_chunks,
         "lang_id": q_lang_id,
         "geojson_read": q_geojson_read,
@@ -1524,6 +1547,11 @@ def oracle_sql() -> dict[str, str]:
         f"(case when sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) >= 0 "
         f"then {1 << b}::bigint else 0::bigint end)"
         for b in range(16)
+    )
+    sim_bits32 = " + ".join(
+        f"(case when sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) >= 0 "
+        f"then {1 << b}::bigint else 0::bigint end)"
+        for b in range(32)
     )
 
     # stopword score per language (same lists as pipeline.text.STOPWORDS)
@@ -2524,6 +2552,29 @@ def oracle_sql() -> dict[str, str]:
             agg as (select doc_id, {sim_bits} simhash from tok group by doc_id)
             select t.doc_id, coalesce(a.simhash, 0) simhash
             from tk t left join agg a on t.doc_id = a.doc_id
+        """,
+        "simhash_neardup": f"""
+            with docs as (
+              select doc_id, text from documents where doc_id < 250
+              union all
+              select doc_id + 1000000, text || ' zz'
+              from documents where doc_id < 50
+            ),
+            tk as (select doc_id, {_TOKENS_SQL} tk from docs),
+            tok as (
+              select doc_id,
+                     ('0x' || substr(md5(unnest(tk)), 1, 15))::bigint h
+              from tk
+            ),
+            agg as (select doc_id, {sim_bits32} simhash from tok group by doc_id),
+            fp as (
+              select t.doc_id, coalesce(a.simhash, 0) simhash
+              from tk t left join agg a on t.doc_id = a.doc_id
+            )
+            select a.doc_id id_a, b.doc_id id_b,
+                   bit_count(xor(a.simhash, b.simhash))::bigint hamming
+            from fp a join fp b on a.doc_id < b.doc_id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ngram_jaccard": _jaccard_pairs_sql(
             "select doc_id, text from documents where doc_id < 40", 0.02

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_neardup",
     "simhash",
+    "simhash_neardup",
     "text_quality",
     "ann_topk",
     "ann_lsh",
@@ -76,6 +77,7 @@ BENCH_QUERIES = [
     "asof_join",
     "interval_join",
     "zorder_key",
+    "geojson_read",
 ]
 
 

@@ -25,6 +25,7 @@ from .dedup import (
     shared_token_runs,
     shingles_col,
     simhash,
+    simhash_near_duplicates,
 )
 from .search import (bm25_topk, bm25_topk_indexed, corpus_globals,
                      corpus_term_stats, ngram_topk)
@@ -67,6 +68,7 @@ __all__ = [
     "shared_token_runs",
     "shingles_col",
     "simhash",
+    "simhash_near_duplicates",
     "bm25_topk",
     "bm25_topk_indexed",
     "corpus_globals",

@@ -186,6 +186,77 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def simhash_near_duplicates(docs: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", bits: int = 48,
+                            max_hamming: int = 3,
+                            max_band_count: int | None = None) -> DataFrame:
+    """(id_a, id_b, hamming) — all pairs whose ``bits``-wide SimHash
+    fingerprints differ in at most ``max_hamming`` bits.  The batch face of
+    the streaming XOR+popcount scan (`streaming/dedup.py`); fingerprint-level
+    near-dup per Manku, Jain & Das Sarma, WWW 2007 ("Detecting
+    near-duplicates for web crawling").
+
+    EXACT under banding (no recall loss): the fingerprint splits into
+    ``max_hamming + 1`` bit bands, and by pigeonhole any pair within
+    ``max_hamming`` differing bits agrees *exactly* on at least one whole
+    band — so an equi-join on (band, band_value) produces a candidate
+    superset, and the popcount-of-XOR refine keeps exactly the true pairs.
+
+    Scale shape (100 TB): one row per (doc, band) — a ``max_hamming + 1``-way
+    map-side explode, never all-pairs — then a self-equi-join on
+    (band, band_value).  Expected bucket occupancy is n / 2^width per band,
+    so at large n either widen ``bits`` (keeping candidate cost ~n²/2^width
+    per band, tiny for 64-bit fingerprints) or cap degenerate buckets:
+    ``max_band_count`` drops band buckets holding more docs than the cap
+    BEFORE the join (near-identical boilerplate floods — e.g. millions of
+    empty docs share fingerprint 0).  A dropped bucket can only lose pairs
+    that match on NO other band — the same explicit recall-for-cost contract
+    as `shared_token_runs`'s ``max_gram_count``; moderate skew is left to
+    AQE skew-join splitting.  The refine is join-local column algebra
+    (fingerprints ride the exploded rows; no join-back).
+    """
+    if not 0 <= max_hamming < bits:
+        raise ValueError("need 0 <= max_hamming < bits")
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    fp = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    bvals = F.array(*[
+        F.shiftright(F.col("simhash"), offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_bands)
+    ])
+    keys = fp.select(
+        "doc_id", "simhash", F.posexplode(bvals).alias("band", "bv")
+    )
+    if max_band_count is not None:
+        ok = (keys.groupBy("band", "bv").count()
+              .filter(F.col("count") <= max_band_count)
+              .select("band", "bv"))
+        keys = keys.join(ok, ["band", "bv"])
+
+    a = keys.select("band", "bv", F.col("doc_id").alias("id_a"),
+                    F.col("simhash").alias("sh_a"))
+    b = keys.select("band", "bv", F.col("doc_id").alias("id_b"),
+                    F.col("simhash").alias("sh_b"))
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def passage_windows_col(text: Column, window: int = 16) -> Column:
     """Non-overlapping ``window``-token passages of the lowercased text
     (array<string>; the trailing partial window is kept).  The corpus-level

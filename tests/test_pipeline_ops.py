@@ -21,6 +21,7 @@ from osm2geojson_lite_spark.pipeline import (
     quality_counts,
     sign_lsh_topk,
     simhash,
+    simhash_near_duplicates,
 )
 from osm2geojson_lite_spark.pipeline.multimodal import (
     decode_media,
@@ -105,6 +106,76 @@ def test_simhash_close_for_similar_far_for_different(spark, documents):
     ham_sim = bin(out[1] ^ out[2]).count("1")
     ham_diff = bin(out[1] ^ out[3]).count("1")
     assert ham_sim < ham_diff
+
+
+def _brute_hamming_pairs(fps: dict[int, int], k: int):
+    ids = sorted(fps)
+    return {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= k
+    }
+
+
+def test_simhash_neardup_matches_bruteforce(spark, documents):
+    """Banding is EXACT (pigeonhole): operator output == all-pairs popcount
+    over the same fingerprints, pairs and distances both."""
+    base = documents.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    mut = base.limit(4).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"))
+    docs = base.unionByName(mut)
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, bits=32).collect()}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_duplicates(docs, bits=32,
+                                            max_hamming=3).collect()}
+    assert got == _brute_hamming_pairs(fps, 3)
+
+
+def test_simhash_neardup_uneven_bands_and_planted_pair(spark, documents):
+    """bits not divisible by bands (16/3 -> widths 6,5,5) still exact; a
+    one-token append is within Hamming 4 of its source at 16 bits."""
+    base = documents.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    mut = base.limit(6).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"))
+    docs = base.unionByName(mut)
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, bits=16).collect()}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_duplicates(docs, bits=16,
+                                            max_hamming=4).collect()}
+    want = _brute_hamming_pairs(fps, 4)
+    assert got == want
+    planted = [(a, b) for (a, b) in got if b - a == 1000000]
+    assert len(planted) >= 3  # most one-token appends stay within 4 bits
+
+
+def test_simhash_neardup_band_cap_drops_flood(spark, documents):
+    """max_band_count fences a boilerplate flood: 30 identical docs share
+    every band bucket, so the cap removes their C(30,2) pairs while the
+    distinct near-dup pair (in buckets below the cap) survives."""
+    row = documents.filter(F.col("doc_id") == 7).collect()[0]
+    flood = [(10000 + i, "the same boilerplate line") for i in range(30)]
+    pair = [(1, row["text"]), (2, row["text"] + " zz")]
+    docs = spark.createDataFrame(flood + pair, "doc_id long, text string")
+    full = simhash_near_duplicates(docs, bits=32, max_hamming=3).collect()
+    assert sum(1 for r in full if r["id_a"] >= 10000) == 435  # C(30,2)
+    capped = simhash_near_duplicates(docs, bits=32, max_hamming=3,
+                                     max_band_count=10).collect()
+    assert all(r["id_a"] < 10000 for r in capped)
+    if any((r["id_a"], r["id_b"]) == (1, 2) for r in full):
+        assert any((r["id_a"], r["id_b"]) == (1, 2) for r in capped)
+
+
+def test_simhash_neardup_partitioning_invariant(spark, documents):
+    docs = documents.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    a = sorted(map(tuple, simhash_near_duplicates(
+        docs.repartition(1), bits=32, max_hamming=3).collect()))
+    b = sorted(map(tuple, simhash_near_duplicates(
+        docs.repartition(8), bits=32, max_hamming=3).collect()))
+    assert a == b
 
 
 def test_ngram_jaccard_pairs_matches_python(spark, documents, docs_py):

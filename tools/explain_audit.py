@@ -26,6 +26,9 @@ CHECKS = {
     # cell equi-join (never a cross join) with the exploded disk broadcast
     "radius_join": ["BroadcastHashJoin"],
     "minhash_neardup": ["HashAggregate"],
+    # fingerprint agg is partial+final; band candidates are an equi-join
+    # (never a cross join) and the popcount refine rides the join output
+    "simhash_neardup": ["HashAggregate"],
     "ann_topk": ["BroadcastNestedLoopJoin"],
     # candidate probe joins must be broadcast equi-joins, never cross
     "ann_lsh": ["BroadcastHashJoin"],
