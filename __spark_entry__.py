@@ -74,6 +74,7 @@ from osm2geojson_lite_spark.pipeline.similarity import (  # noqa: E402
     sign_lsh_multi_topk,
     sign_lsh_topk,
 )
+from osm2geojson_lite_spark.pipeline.semdedup import semantic_dedup  # noqa: E402
 from osm2geojson_lite_spark.pipeline.text import (  # noqa: E402
     BPE_SPLIT_RE,
     STOPWORDS,
@@ -1277,6 +1278,27 @@ def q_embed_clusters(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): trained-centroid clustering + within-
+    cluster cosine dedup keeping the lowest-centroid-similarity endpoint.
+    Eight exact copies are planted (vec_id+1000000 of vec_id<8) so the gate
+    exercises real drops; the oracle replays assignment, pairing, and the
+    keep rule against the committed golden centroid table."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, n_centroids=16, n_iters=20,
+                             sample_size=512, seed=0)
+    out = semantic_dedup(emb.unionByName(planted), cents, threshold=0.999)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cid").cast("int").alias("cid"),
+        "cent_cos",
+        "kept",
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -1394,7 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bm25_search, text_quality/token_counts by their python-oracle +
     # partitioning-invariance pytest pins over the same tokens_col
     # kernel a dozen first-50 queries gate, doc_fingerprint by its
-    # full-value python-md5-oracle pin) so nothing is gate-blind if
+    # full-value python-md5-oracle pin, winnow_fingerprint by
+    # test_winnowing_matches_python_and_guarantee's python oracle +
+    # the hypothesis property suite) so nothing is gate-blind if
     # the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
@@ -1419,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "geojson_read": q_geojson_read,
         "embed_clusters": q_embed_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "tpch_q1": q_tpch_q1,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1430,7 +1455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "ann_recall": q_ann_recall,
         "unigram_logprob": q_unigram_logprob,
-        "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
         "media_decode": q_media_decode,
         "source_quota": q_source_quota,
@@ -1448,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "shared_spans": q_shared_spans,
         "minhash_signatures": q_minhash_signatures,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_int8": q_ann_int8,
@@ -3059,6 +3084,39 @@ def oracle_sql() -> dict[str, str]:
             sz as (select cid, count(*)::bigint cluster_n from asg group by cid)
             select a.vec_id::bigint vec_id, a.cid::int cid, a.cos, s.cluster_n
             from asg a join sz s using (cid)
+        """,
+        "semantic_dedup": f"""
+            with base as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000, embedding from embeddings
+              where vec_id < 8
+            ),
+            cent as (select cid, cv from (values {kcent_values}) t(cid, cv)),
+            sc as (
+              select v.vec_id, v.embedding, c.cid,
+                     round({_cos2('v.embedding', 'c.cv')}, 9) cos
+              from base v cross join cent c
+            ),
+            asg as (
+              select vec_id, embedding, cid, cos cent_cos from (
+                select sc.*, row_number() over (partition by vec_id
+                         order by cos desc, cid asc) rn
+                from sc
+              ) where rn = 1
+            ),
+            dup as (
+              select a.vec_id ia, b.vec_id ib, a.cent_cos ca, b.cent_cos cb
+              from asg a join asg b on a.cid = b.cid and a.vec_id < b.vec_id
+              where round({_cos2('a.embedding', 'b.embedding')}, 9) >= 0.999
+            ),
+            dropped as (
+              select distinct case when ca <= cb then ib else ia end vec_id
+              from dup
+            )
+            select a.vec_id::bigint vec_id, a.cid::int cid, a.cent_cos,
+                   a.vec_id not in (select vec_id from dropped) kept
+            from asg a
         """,
         "tpch_q1": """
             select l_returnflag, l_linestatus,

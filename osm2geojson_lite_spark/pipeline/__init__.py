@@ -41,6 +41,7 @@ from .similarity import (
     sign_lsh_topk,
 )
 from .cluster import connected_components, near_dup_clusters
+from .semdedup import semantic_dedup
 from .compose import clean_corpus
 from .packing import chunk_documents, pack_sequences
 from .scrub import decontaminate, pii_scrub
@@ -81,6 +82,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_centroids",
     "recall_at_k",
+    "semantic_dedup",
     "sign_lsh_multi_topk",
     "sign_lsh_topk",
     "doc_fingerprint",
