@@ -420,6 +420,25 @@ def q_tile_rollup(spark, sf_dir):
     return cells.groupBy("parent_cell").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+def q_tile_smooth(spark, sf_dir):
+    """Heatmap layer: bin customer points at res 8, then k-ring smooth
+    (ring 1, integer weights 2/1).  Exact integer arithmetic end to end,
+    so the oracle replays the scatter bit-for-bit."""
+    from osm2geojson_lite_spark.spatial import cell_density, kring_smooth
+
+    cust = _read(spark, sf_dir, "customer")
+    pts = cust.select(
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    )
+    out = kring_smooth(cell_density(pts, 8), 8, ring=1)
+    return out.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("w_sum").cast("bigint").alias("w_sum"),
+        F.col("n_src").cast("bigint").alias("n_src"),
+    )
+
+
 def q_pip_diamonds(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     points = cust.select(
@@ -1418,7 +1437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kernel a dozen first-50 queries gate, doc_fingerprint by its
     # full-value python-md5-oracle pin, winnow_fingerprint by
     # test_winnowing_matches_python_and_guarantee's python oracle +
-    # the hypothesis property suite) so nothing is gate-blind if
+    # the hypothesis property suite, pipeline_clean by
+    # test_clean_corpus_gates_and_dedups over operators each gated
+    # individually in the first 50) so nothing is gate-blind if
     # the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
@@ -1431,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_convert_corpus": q_osm_convert_corpus,
         "tile_cells": q_tile_cells,
         "tile_rollup": q_tile_rollup,
+        "tile_smooth": q_tile_smooth,
         "pip_diamonds": q_pip_diamonds,
         "knn_cells": q_knn,
         "radius_join": q_radius_join,
@@ -1455,7 +1477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "ann_recall": q_ann_recall,
         "unigram_logprob": q_unigram_logprob,
-        "pipeline_clean": q_pipeline_clean,
         "media_decode": q_media_decode,
         "source_quota": q_source_quota,
         "mixture_sample": q_mixture_sample,
@@ -1473,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_spans": q_shared_spans,
         "minhash_signatures": q_minhash_signatures,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "pipeline_clean": q_pipeline_clean,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_int8": q_ann_int8,
@@ -2492,6 +2514,29 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup": f"""
             select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
             from customer group by 1
+        """,
+        "tile_smooth": f"""
+            with dens as (
+              select {_cell_sql(lon_c, lat_c, 8)} cell, count(*) n
+              from customer group by 1
+            ),
+            xy as (
+              select ((cell % {1 << 56}) // {1 << 28}) x, (cell % {1 << 28}) y, n
+              from dens
+            ),
+            scat as (
+              select (8::bigint * {1 << 56}
+                      + (((x + dx.v) % 256 + 256) % 256) * {1 << 28}
+                      + (y + dy.v)) cell,
+                     n * (case when dx.v = 0 and dy.v = 0 then 2 else 1 end) c
+              from xy,
+                   (values (-1), (0), (1)) dx(v),
+                   (values (-1), (0), (1)) dy(v)
+              where y + dy.v >= 0 and y + dy.v < 256
+            )
+            select cell::bigint cell, sum(c)::bigint w_sum,
+                   count(*)::bigint n_src
+            from scat group by 1
         """,
         "pip_diamonds": f"""
             with pts as (select c_custkey point_id, {lon_c} lon, {lat_c} lat from customer),

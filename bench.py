@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "osm_way_resolution",
     "tile_cells",
     "tile_rollup",
+    "tile_smooth",
     "pip_diamonds",
     "knn_cells",
     "radius_join",
@@ -69,6 +70,7 @@ BENCH_QUERIES = [
     "ngram_topk",
     "shared_spans",
     "embed_clusters",
+    "semantic_dedup",
     "mixture_sample",
     "mixture_tokens",
     "mixture_epochs",

@@ -23,6 +23,7 @@ from .cells import (
     neighbor_cells_col,
     np_cell,
 )
+from .density import cell_density, kring_smooth
 from .knn import knn_join
 from .pip import pip_join, polygon_cover_cells
 from .range_join import radius_join, radius_res
@@ -39,6 +40,8 @@ __all__ = [
     "mercator_tile_cols",
     "neighbor_cells_col",
     "np_cell",
+    "cell_density",
+    "kring_smooth",
     "knn_join",
     "pip_join",
     "polygon_cover_cells",

@@ -95,6 +95,12 @@ CHECKS = {
     # map-side only: from_json raw capture + posexplode + json_tuple over
     # the scan — one Generate, no Exchange, no UDF
     "geojson_read": ["ReadSchema"],
+    # scatter-not-gather: density agg (partial+final), explode of the
+    # 9-contribution array, then one re-agg — no join, no window
+    "tile_smooth": ["HashAggregate"],
+    # map-side literal-centroid assignment; within-cluster pair join is an
+    # equi-join on cid (never a cross join); drop set joins back
+    "semantic_dedup": ["HashAggregate"],
 }
 
 
