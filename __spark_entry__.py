@@ -420,6 +420,45 @@ def q_tile_rollup(spark, sf_dir):
     return cells.groupBy("parent_cell").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+def q_line_simplify(spark, sf_dir):
+    """Douglas-Peucker LOD simplification over 40 deterministic polylines
+    built from lineitem (x = position, y = hash jitter; ~650 points each
+    at sf0.01).  The oracle replays the full split recursion as a
+    recursive CTE with the same multiplicative no-sqrt float math, so the
+    kept-index CSV matches bit-for-bit."""
+    from osm2geojson_lite_spark.spatial import simplify_lines
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 40)
+    y = (
+        (F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 104729) % 1000
+    ) / F.lit(500.0) - F.lit(1.0)
+    pts = li.select(
+        F.col("l_suppkey").alias("way_id"),
+        F.struct(
+            F.col("l_orderkey"), F.col("l_linenumber"), y.alias("y")
+        ).alias("s"),
+    )
+    lines = (
+        pts.groupBy("way_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select(
+            "way_id",
+            F.transform(
+                "arr", lambda s, i: F.array((i + 1).cast("double"), s["y"])
+            ).alias("coords"),
+        )
+    )
+    out = simplify_lines(lines, 0.75)
+    return out.select(
+        F.col("way_id").cast("bigint").alias("way_id"),
+        F.col("n_in").cast("bigint").alias("n_in"),
+        F.size("kept").cast("bigint").alias("n_out"),
+        F.array_join(
+            F.transform("kept", lambda i: i.cast("string")), ","
+        ).alias("kept_csv"),
+    )
+
+
 def q_tile_smooth(spark, sf_dir):
     """Heatmap layer: bin customer points at res 8, then k-ring smooth
     (ring 1, integer weights 2/1).  Exact integer arithmetic end to end,
@@ -1439,8 +1478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_winnowing_matches_python_and_guarantee's python oracle +
     # the hypothesis property suite, pipeline_clean by
     # test_clean_corpus_gates_and_dedups over operators each gated
-    # individually in the first 50) so nothing is gate-blind if
-    # the cutoff recurs.
+    # individually in the first 50, dedup_exact by
+    # test_exact_duplicates_with_injected_dups with its one-hash-groupBy
+    # shape also exercised by the gated passage_dedup) so nothing is
+    # gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1457,7 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cells": q_knn,
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
-        "dedup_exact": q_dedup_exact,
+        "line_simplify": q_line_simplify,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -1495,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
+        "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_int8": q_ann_int8,
@@ -2514,6 +2556,56 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup": f"""
             select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
             from customer group by 1
+        """,
+        "line_simplify": f"""
+            with recursive
+            src as (
+              select l_suppkey way_id,
+                     row_number() over (partition by l_suppkey
+                       order by l_orderkey, l_linenumber) rn,
+                     ((l_orderkey * 7919 + l_linenumber * 104729) % 1000)
+                       / 500.0 - 1.0 y
+              from lineitem where l_suppkey <= 40
+            ),
+            pts as (select way_id, list(y order by rn) ys from src group by way_id),
+            seg(way_id, i0, i1, ys) as (
+              select way_id, 1::bigint, len(ys)::bigint, ys
+              from pts where len(ys) >= 2
+              union all
+              select way_id,
+                     case when sp.side = 0 then t.i0 else t.k end,
+                     case when sp.side = 0 then t.k else t.i1 end,
+                     t.ys
+              from (
+                select way_id, i0, i1, ys,
+                       i0 + list_position(cs, list_max(cs)) k,
+                       list_max(cs) m,
+                       {repr(0.75 * 0.75)} * (((i1 - i0)::double)*((i1 - i0)::double)
+                                 + (ys[i1]-ys[i0])*(ys[i1]-ys[i0])) thresh
+                from (
+                  select way_id, i0, i1, ys,
+                         list_transform(generate_series(i0 + 1, i1 - 1),
+                           j -> (((i1 - i0)::double)*(ys[j]-ys[i0])
+                                 - (ys[i1]-ys[i0])*((j - i0)::double))
+                                * (((i1 - i0)::double)*(ys[j]-ys[i0])
+                                   - (ys[i1]-ys[i0])*((j - i0)::double))) cs
+                  from seg where i1 - i0 >= 2
+                )
+              ) t, (values (0), (1)) sp(side)
+              where t.m > t.thresh
+            ),
+            k2 as (
+              select distinct way_id, i from (
+                select way_id, unnest([i0, i1]) i from seg
+                union all
+                select way_id, 1 from pts where len(ys) = 1
+              )
+            )
+            select k2.way_id::bigint way_id, any_value(len(p.ys))::bigint n_in,
+                   count(*)::bigint n_out,
+                   string_agg((i - 1)::varchar, ',' order by i) kept_csv
+            from k2 join pts p on k2.way_id = p.way_id
+            group by k2.way_id
         """,
         "tile_smooth": f"""
             with dens as (

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "tile_cells",
     "tile_rollup",
     "tile_smooth",
+    "line_simplify",
     "pip_diamonds",
     "knn_cells",
     "radius_join",

@@ -27,6 +27,7 @@ from .density import cell_density, kring_smooth
 from .knn import knn_join
 from .pip import pip_join, polygon_cover_cells
 from .range_join import radius_join, radius_res
+from .simplify import dp_keep_indices, simplify_lines
 from .raster import raster_tile_assignment, tile_manifest
 
 __all__ = [
@@ -47,6 +48,8 @@ __all__ = [
     "polygon_cover_cells",
     "radius_join",
     "radius_res",
+    "dp_keep_indices",
+    "simplify_lines",
     "raster_tile_assignment",
     "tile_manifest",
 ]

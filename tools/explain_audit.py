@@ -98,6 +98,9 @@ CHECKS = {
     # scatter-not-gather: density agg (partial+final), explode of the
     # 9-contribution array, then one re-agg — no join, no window
     "tile_smooth": ["HashAggregate"],
+    # line build is one partial+final collect_list agg; the DP kernel is
+    # a single Arrow mapInPandas projection (no further Exchange)
+    "line_simplify": ["HashAggregate", "MapInPandas"],
     # map-side literal-centroid assignment; within-cluster pair join is an
     # equi-join on cid (never a cross join); drop set joins back
     "semantic_dedup": ["HashAggregate"],
