@@ -420,6 +420,49 @@ def q_tile_rollup(spark, sf_dir):
     return cells.groupBy("parent_cell").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+# 8 compass directions, CCW — shared by q_geom_stats and its oracle
+GEOM_DIRS = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+
+
+def q_geom_stats(spark, sf_dir):
+    """Ring measurement layer: signed shoelace area, perimeter, centroid,
+    bbox of a deterministic star-shaped 8-gon per nation — pure column
+    HOFs with left-fold index-order summation, replayed bit-for-bit by
+    the oracle's list_reduce(list_prepend(0.0, ...)) folds."""
+    from osm2geojson_lite_spark.spatial import (
+        ring_bbox_cols,
+        ring_centroid_cols,
+        ring_perimeter_col,
+        ring_signed_area_col,
+    )
+
+    nat = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    cx = (k * 7919 % 30000) / F.lit(100.0) - F.lit(150.0)
+    cy = (k * 104729 % 14000) / F.lit(100.0) - F.lit(70.0)
+    verts = []
+    for i, (dx, dy) in enumerate(GEOM_DIRS):
+        r = ((k * 31 + i * 17) % 50) / F.lit(10.0) + F.lit(1.0)
+        verts.append(F.array(cx + r * F.lit(float(dx)),
+                             cy + r * F.lit(float(dy))))
+    ring_df = nat.select(
+        k.alias("poly_id"), F.array(*verts, verts[0]).alias("ring"))
+    r = F.col("ring")
+    cxc, cyc = ring_centroid_cols(r)
+    x0, y0, x1, y1 = ring_bbox_cols(r)
+    return ring_df.select(
+        F.col("poly_id").cast("bigint").alias("poly_id"),
+        F.round(ring_signed_area_col(r), 9).alias("signed_area"),
+        F.round(ring_perimeter_col(r), 9).alias("perimeter"),
+        F.round(cxc, 9).alias("centroid_x"),
+        F.round(cyc, 9).alias("centroid_y"),
+        F.round(x0, 9).alias("bbox_x0"),
+        F.round(y0, 9).alias("bbox_y0"),
+        F.round(x1, 9).alias("bbox_x1"),
+        F.round(y1, 9).alias("bbox_y1"),
+    )
+
+
 def q_line_simplify(spark, sf_dir):
     """Douglas-Peucker LOD simplification over 40 deterministic polylines
     built from lineitem (x = position, y = hash jitter; ~650 points each
@@ -1480,8 +1523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_clean_corpus_gates_and_dedups over operators each gated
     # individually in the first 50, dedup_exact by
     # test_exact_duplicates_with_injected_dups with its one-hash-groupBy
-    # shape also exercised by the gated passage_dedup) so nothing is
-    # gate-blind if the cutoff recurs.
+    # shape also exercised by the gated passage_dedup, simhash by the
+    # hamming-distance pytest pin with the same fingerprint kernel
+    # replayed bit-exactly in the gated simhash_neardup oracle) so
+    # nothing is gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1499,8 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
         "line_simplify": q_line_simplify,
+        "geom_stats": q_geom_stats,
         "minhash_neardup": q_minhash_neardup,
-        "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "doc_chunks": q_doc_chunks,
         "lang_id": q_lang_id,
@@ -1537,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
         "dedup_exact": q_dedup_exact,
+        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_int8": q_ann_int8,
@@ -2556,6 +2602,51 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup": f"""
             select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
             from customer group by 1
+        """,
+        "geom_stats": f"""
+            with g as (
+              select n_nationkey poly_id,
+                     (n_nationkey * 7919 % 30000) / 100.0 - 150.0 cx,
+                     (n_nationkey * 104729 % 14000) / 100.0 - 70.0 cy,
+                     [{", ".join(f"((n_nationkey * 31 + {i} * 17) % 50) / 10.0 + 1.0"
+                                 for i in range(8))}] rs
+              from nation
+            ),
+            p as (
+              select poly_id,
+                     [{", ".join(f"[cx + rs[{i + 1}]*{float(dx)!r}, cy + rs[{i + 1}]*{float(dy)!r}]"
+                                 for i, (dx, dy) in enumerate([(1, 0), (1, 1), (0, 1), (-1, 1),
+                                                               (-1, 0), (-1, -1), (0, -1), (1, -1)]))},
+                      [cx + rs[1]*1.0, cy + rs[1]*0.0]] ring
+              from g
+            ),
+            m as (
+              select poly_id, ring,
+                     list_transform(generate_series(2, len(ring)),
+                       i -> ring[i-1][1]*ring[i][2] - ring[i][1]*ring[i-1][2]) ct,
+                     list_transform(generate_series(2, len(ring)),
+                       i -> sqrt((ring[i][1]-ring[i-1][1])*(ring[i][1]-ring[i-1][1])
+                                 + (ring[i][2]-ring[i-1][2])*(ring[i][2]-ring[i-1][2]))) st,
+                     list_transform(generate_series(2, len(ring)),
+                       i -> (ring[i-1][1] + ring[i][1])
+                            * (ring[i-1][1]*ring[i][2] - ring[i][1]*ring[i-1][2])) cxt,
+                     list_transform(generate_series(2, len(ring)),
+                       i -> (ring[i-1][2] + ring[i][2])
+                            * (ring[i-1][1]*ring[i][2] - ring[i][1]*ring[i-1][2])) cyt
+              from p
+            )
+            select poly_id::bigint poly_id,
+                   round(list_reduce(list_prepend(0.0::double, ct), (a,b) -> a + b) / 2.0, 9) signed_area,
+                   round(list_reduce(list_prepend(0.0::double, st), (a,b) -> a + b), 9) perimeter,
+                   round(list_reduce(list_prepend(0.0::double, cxt), (a,b) -> a + b)
+                         / (list_reduce(list_prepend(0.0::double, ct), (a,b) -> a + b) * 3.0), 9) centroid_x,
+                   round(list_reduce(list_prepend(0.0::double, cyt), (a,b) -> a + b)
+                         / (list_reduce(list_prepend(0.0::double, ct), (a,b) -> a + b) * 3.0), 9) centroid_y,
+                   round(list_min(list_transform(ring, c -> c[1])), 9) bbox_x0,
+                   round(list_min(list_transform(ring, c -> c[2])), 9) bbox_y0,
+                   round(list_max(list_transform(ring, c -> c[1])), 9) bbox_x1,
+                   round(list_max(list_transform(ring, c -> c[2])), 9) bbox_y1
+            from m
         """,
         "line_simplify": f"""
             with recursive

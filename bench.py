@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "tile_rollup",
     "tile_smooth",
     "line_simplify",
+    "geom_stats",
     "pip_diamonds",
     "knn_cells",
     "radius_join",

@@ -24,6 +24,13 @@ from .cells import (
     np_cell,
 )
 from .density import cell_density, kring_smooth
+from .geomstats import (
+    ring_area_col,
+    ring_bbox_cols,
+    ring_centroid_cols,
+    ring_perimeter_col,
+    ring_signed_area_col,
+)
 from .knn import knn_join
 from .pip import pip_join, polygon_cover_cells
 from .range_join import radius_join, radius_res
@@ -43,6 +50,11 @@ __all__ = [
     "np_cell",
     "cell_density",
     "kring_smooth",
+    "ring_area_col",
+    "ring_bbox_cols",
+    "ring_centroid_cols",
+    "ring_perimeter_col",
+    "ring_signed_area_col",
     "knn_join",
     "pip_join",
     "polygon_cover_cells",

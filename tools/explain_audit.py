@@ -101,6 +101,8 @@ CHECKS = {
     # line build is one partial+final collect_list agg; the DP kernel is
     # a single Arrow mapInPandas projection (no further Exchange)
     "line_simplify": ["HashAggregate", "MapInPandas"],
+    # pure column-HOF projection over the scan — no Exchange, no UDF
+    "geom_stats": ["ReadSchema"],
     # map-side literal-centroid assignment; within-cluster pair join is an
     # equi-join on cid (never a cross join); drop set joins back
     "semantic_dedup": ["HashAggregate"],
