@@ -1400,6 +1400,19 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic stratified train/val/test split (80/10/10): pure
+    map-side hash-threshold assignment, reproducible at any parallelism
+    — the curation primitive randomSplit cannot provide.  The oracle
+    replays the md5 bucket and the same integer thresholds."""
+    from osm2geojson_lite_spark.pipeline.sample import stratified_split
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split")
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -1525,12 +1538,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_exact_duplicates_with_injected_dups with its one-hash-groupBy
     # shape also exercised by the gated passage_dedup, simhash by the
     # hamming-distance pytest pin with the same fingerprint kernel
-    # replayed bit-exactly in the gated simhash_neardup oracle) so
-    # nothing is gate-blind if the cutoff recurs.
+    # replayed bit-exactly in the gated simhash_neardup oracle,
+    # osm_props_merge by the strictly-stronger 27-fixture byte-exact
+    # golden suite pinning P1/P2 end to end) so nothing is gate-blind
+    # if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
-        "osm_props_merge": q_osm_props_merge,
+        "corpus_split": q_corpus_split,
         "osm_fixture_parity": q_osm_fixture_parity,
         "xml_events": q_xml_events,
         "osm_relation_geometry": q_osm_relation_geometry,
@@ -1583,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean": q_pipeline_clean,
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
+        "osm_props_merge": q_osm_props_merge,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_int8": q_ann_int8,
@@ -3345,6 +3361,17 @@ def oracle_sql() -> dict[str, str]:
             select a.vec_id::bigint vec_id, a.cid::int cid, a.cent_cos,
                    a.vec_id not in (select vec_id from dropped) kept
             from asg a
+        """,
+        "corpus_split": """
+            select doc_id::bigint doc_id,
+                   case
+                     when ('0x' || substr(md5('0:' || doc_id::varchar), 1, 8))::bigint
+                          < 3435973836 then 'train'
+                     when ('0x' || substr(md5('0:' || doc_id::varchar), 1, 8))::bigint
+                          < 3865470566 then 'val'
+                     else 'test'
+                   end split
+            from documents
         """,
         "tpch_q1": """
             select l_returnflag, l_linestatus,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "shared_spans",
     "embed_clusters",
     "semantic_dedup",
+    "corpus_split",
     "mixture_sample",
     "mixture_tokens",
     "mixture_epochs",

@@ -60,6 +60,43 @@ def deterministic_sample(df: DataFrame, rate: float, *, key: str = "doc_id",
     return df.filter(sample_hash_col(F.col(key), salt) < F.lit(threshold))
 
 
+def stratified_split(df: DataFrame, fractions: dict[str, float], *,
+                     key: str = "doc_id", salt: int = 0) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column.
+
+    ``fractions`` maps split name -> fraction (must sum to 1 within 1e-9);
+    a row lands in the first split whose cumulative integer threshold
+    exceeds its 32-bit key hash, so the assignment is a pure map-side
+    projection — disjoint, exhaustive, identical at any parallelism or
+    cluster size, and stable across reruns (the property ``df.randomSplit``
+    cannot give you: its assignment changes with partitioning).  Each
+    stratum of any upstream grouping receives each split at the same rate
+    in expectation because the hash is uniform and key-only.
+
+    The last split absorbs the integer-floor remainder so every row is
+    assigned.  Re-salting produces an independent fold (k-fold CV =
+    ``salt=0..k-1``).
+    """
+    names = list(fractions)
+    if not names:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+    h = sample_hash_col(F.col(key), salt)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(int(cum * _DENOM))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
 def quota_cap(df: DataFrame, group_col: str, quota: int, *,
               key: str = "doc_id", salt: int = 0,
               prefilter_slack: int = 64) -> DataFrame:

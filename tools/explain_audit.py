@@ -103,6 +103,8 @@ CHECKS = {
     "line_simplify": ["HashAggregate", "MapInPandas"],
     # pure column-HOF projection over the scan — no Exchange, no UDF
     "geom_stats": ["ReadSchema"],
+    # map-side hash-threshold CASE over the scan — no Exchange, no UDF
+    "corpus_split": ["ReadSchema"],
     # map-side literal-centroid assignment; within-cluster pair join is an
     # equi-join on cid (never a cross join); drop set joins back
     "semantic_dedup": ["HashAggregate"],
