@@ -420,8 +420,58 @@ def q_tile_rollup(spark, sf_dir):
     return cells.groupBy("parent_cell").agg(F.count(F.lit(1)).alias("n_points"))
 
 
-# 8 compass directions, CCW — shared by q_geom_stats and its oracle
+# 8 compass directions, CCW — shared by q_geom_stats / q_poly_overlap and
+# their oracles
 GEOM_DIRS = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+
+
+def _octagon_ring_sql(cx: str, cy: str, rexpr: str) -> str:
+    """DuckDB list-of-[x,y] closed octagon ring, mirroring the Spark-side
+    builder in q_geom_stats/q_poly_overlap vertex for vertex."""
+    verts = []
+    for i, (dx, dy) in enumerate(GEOM_DIRS):
+        r = rexpr.format(i=i)
+        verts.append(f"[{cx} + ({r})*{float(dx)!r}, {cy} + ({r})*{float(dy)!r}]")
+    verts.append(verts[0])
+    return "[" + ", ".join(verts) + "]"
+
+
+def _pip_strict_sql(px: str, py: str, ring: str) -> str:
+    """SQL replay of functions.geometry.points_inside_polygon's half-open
+    ray cast (edge k pairs vertex i with i-1, wrapping; x-straddle
+    half-open, strict y-below test).  DuckDB's double div-by-zero yields
+    NULL, which the straddle conjunct masks exactly like the numpy
+    errstate-guarded lanes."""
+    prev = f"({ring})[case when i = 1 then len({ring}) else i - 1 end]"
+    cur = f"({ring})[i]"
+    return (
+        f"(list_sum(list_transform(generate_series(1, len({ring})), i -> "
+        f"case when (({cur}[1] <= {px} and {px} < {prev}[1]) or "
+        f"({prev}[1] <= {px} and {px} < {cur}[1])) "
+        f"and {py} < ({prev}[2] - {cur}[2]) * ({px} - {cur}[1]) "
+        f"/ ({prev}[1] - {cur}[1]) + {cur}[2] "
+        f"then 1 else 0 end)) % 2) = 1"
+    )
+
+
+def _edge_cross_sql(ra: str, rb: str) -> str:
+    """SQL replay of spatial.overlap.rings_overlap's proper-crossing sign
+    matrix: exists edges i of ra, j of rb with strictly opposite
+    orientations on both chords."""
+    d1 = (f"(({ra})[i+1][1]-({ra})[i][1])*(({rb})[j][2]-({ra})[i][2]) "
+          f"- (({ra})[i+1][2]-({ra})[i][2])*(({rb})[j][1]-({ra})[i][1])")
+    d2 = (f"(({ra})[i+1][1]-({ra})[i][1])*(({rb})[j+1][2]-({ra})[i][2]) "
+          f"- (({ra})[i+1][2]-({ra})[i][2])*(({rb})[j+1][1]-({ra})[i][1])")
+    d3 = (f"(({rb})[j+1][1]-({rb})[j][1])*(({ra})[i][2]-({rb})[j][2]) "
+          f"- (({rb})[j+1][2]-({rb})[j][2])*(({ra})[i][1]-({rb})[j][1])")
+    d4 = (f"(({rb})[j+1][1]-({rb})[j][1])*(({ra})[i+1][2]-({rb})[j][2]) "
+          f"- (({rb})[j+1][2]-({rb})[j][2])*(({ra})[i+1][1]-({rb})[j][1])")
+    cond = (f"((({d1}) > 0 and ({d2}) < 0) or (({d1}) < 0 and ({d2}) > 0)) "
+            f"and ((({d3}) > 0 and ({d4}) < 0) or (({d3}) < 0 and ({d4}) > 0))")
+    return (f"coalesce(list_max(flatten(list_transform("
+            f"generate_series(1, len({ra}) - 1), i -> "
+            f"list_transform(generate_series(1, len({rb}) - 1), j -> "
+            f"case when {cond} then 1 else 0 end)))), 0) = 1")
 
 
 def q_geom_stats(spark, sf_dir):
@@ -460,6 +510,52 @@ def q_geom_stats(spark, sf_dir):
         F.round(y0, 9).alias("bbox_y0"),
         F.round(x1, 9).alias("bbox_x1"),
         F.round(y1, 9).alias("bbox_y1"),
+    )
+
+
+def _octagon_ring_json(k, cx, cy, rfun):
+    verts = []
+    for i, (dx, dy) in enumerate(GEOM_DIRS):
+        r = rfun(i)
+        verts.append(F.array(cx + r * F.lit(float(dx)),
+                             cy + r * F.lit(float(dy))))
+    return F.to_json(F.array(*verts, verts[0]))
+
+
+def q_poly_overlap(spark, sf_dir):
+    """Polygon-polygon overlap join: 25 nation octagons x 40 supplier
+    octagons, cell-cover prefilter + exact orientation-test refine.  The
+    oracle brute-forces all pairs with the identical sign-matrix and
+    ray-cast formulas, so the pair set matches exactly (prefilter is a
+    guaranteed superset — see spatial/overlap.py)."""
+    from osm2geojson_lite_spark.spatial import polygon_overlap_join
+
+    nat = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    left = nat.select(
+        k.alias("left_id"),
+        _octagon_ring_json(
+            k,
+            (k * 7919 % 30000) / F.lit(100.0) - F.lit(150.0),
+            (k * 104729 % 14000) / F.lit(100.0) - F.lit(70.0),
+            lambda i: ((k * 31 + i * 17) % 50) / F.lit(10.0) + F.lit(1.0),
+        ).alias("ring_json"),
+    )
+    sup = _read(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 40)
+    s = F.col("s_suppkey")
+    right = sup.select(
+        s.alias("right_id"),
+        _octagon_ring_json(
+            s,
+            (s * 104729 % 30000) / F.lit(100.0) - F.lit(150.0),
+            (s * 7919 % 14000) / F.lit(100.0) - F.lit(70.0),
+            lambda i: ((s * 37 + i * 13) % 60) / F.lit(10.0) + F.lit(6.0),
+        ).alias("ring_json"),
+    )
+    out = polygon_overlap_join(left, right, res=7)
+    return out.select(
+        F.col("left_id").cast("bigint").alias("left_id"),
+        F.col("right_id").cast("bigint").alias("right_id"),
     )
 
 
@@ -1540,14 +1636,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hamming-distance pytest pin with the same fingerprint kernel
     # replayed bit-exactly in the gated simhash_neardup oracle,
     # osm_props_merge by the strictly-stronger 27-fixture byte-exact
-    # golden suite pinning P1/P2 end to end) so nothing is gate-blind
-    # if the cutoff recurs.
+    # golden suite pinning P1/P2 end to end, xml_events by
+    # test_xml_events.py's full-stream parity vs an independent scanner
+    # over every XML fixture plus its committed golden) so nothing is
+    # gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
         "corpus_split": q_corpus_split,
         "osm_fixture_parity": q_osm_fixture_parity,
-        "xml_events": q_xml_events,
+        "poly_overlap": q_poly_overlap,
         "osm_relation_geometry": q_osm_relation_geometry,
         "osm_polytag_classify": q_osm_polytag_classify,
         "osm_convert_corpus": q_osm_convert_corpus,
@@ -1599,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
         "osm_props_merge": q_osm_props_merge,
+        "xml_events": q_xml_events,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_int8": q_ann_int8,
@@ -2618,6 +2717,29 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup": f"""
             select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
             from customer group by 1
+        """,
+        "poly_overlap": f"""
+            with la as (
+              select n_nationkey pid,
+                     {_octagon_ring_sql(
+                         "(n_nationkey * 7919 % 30000) / 100.0 - 150.0",
+                         "(n_nationkey * 104729 % 14000) / 100.0 - 70.0",
+                         "((n_nationkey * 31 + {i} * 17) % 50) / 10.0 + 1.0")} ring
+              from nation
+            ),
+            rb as (
+              select s_suppkey pid,
+                     {_octagon_ring_sql(
+                         "(s_suppkey * 104729 % 30000) / 100.0 - 150.0",
+                         "(s_suppkey * 7919 % 14000) / 100.0 - 70.0",
+                         "((s_suppkey * 37 + {i} * 13) % 60) / 10.0 + 6.0")} ring
+              from supplier where s_suppkey < 40
+            )
+            select a.pid::bigint left_id, b.pid::bigint right_id
+            from la a cross join rb b
+            where {_edge_cross_sql('a.ring', 'b.ring')}
+               or {_pip_strict_sql('a.ring[1][1]', 'a.ring[1][2]', 'b.ring')}
+               or {_pip_strict_sql('b.ring[1][1]', 'b.ring[1][2]', 'a.ring')}
         """,
         "geom_stats": f"""
             with g as (

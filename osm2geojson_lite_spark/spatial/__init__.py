@@ -32,6 +32,7 @@ from .geomstats import (
     ring_signed_area_col,
 )
 from .knn import knn_join
+from .overlap import polygon_overlap_join, rings_overlap
 from .pip import pip_join, polygon_cover_cells
 from .range_join import radius_join, radius_res
 from .simplify import dp_keep_indices, simplify_lines
@@ -57,6 +58,8 @@ __all__ = [
     "ring_signed_area_col",
     "knn_join",
     "pip_join",
+    "polygon_overlap_join",
+    "rings_overlap",
     "polygon_cover_cells",
     "radius_join",
     "radius_res",

@@ -105,6 +105,9 @@ CHECKS = {
     "geom_stats": ["ReadSchema"],
     # map-side hash-threshold CASE over the scan — no Exchange, no UDF
     "corpus_split": ["ReadSchema"],
+    # cell-cover equi-join with the small side broadcast (never a cross
+    # join); the exact refine is one Arrow projection after the join
+    "poly_overlap": ["BroadcastHashJoin", "MapInPandas"],
     # map-side literal-centroid assignment; within-cluster pair join is an
     # equi-join on cid (never a cross join); drop set joins back
     "semantic_dedup": ["HashAggregate"],
