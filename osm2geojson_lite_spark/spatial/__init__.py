@@ -23,7 +23,7 @@ from .cells import (
     neighbor_cells_col,
     np_cell,
 )
-from .density import cell_density, kring_smooth
+from .density import cell_density, kring_scatter_col, kring_smooth
 from .geomstats import (
     ring_area_col,
     ring_bbox_cols,
@@ -50,6 +50,7 @@ __all__ = [
     "neighbor_cells_col",
     "np_cell",
     "cell_density",
+    "kring_scatter_col",
     "kring_smooth",
     "ring_area_col",
     "ring_bbox_cols",

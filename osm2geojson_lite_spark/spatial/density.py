@@ -38,6 +38,36 @@ def cell_density(points: DataFrame, res: int, *,
     )
 
 
+def kring_scatter_col(cell, res: int, ring: int = 1,
+                      weights: list[int] | None = None):
+    """Array of ``struct(cell, w)`` contributions a source cell sends to
+    its Chebyshev ``ring``-neighborhood — the shared scatter expression
+    behind :func:`kring_smooth` (batch) and the streaming heatmap
+    (``streaming.tile_stats.stream_tile_heatmap``, which scatters per
+    event BEFORE its single windowed aggregation: smoothing is linear, so
+    scatter-then-count == count-then-smooth)."""
+    if weights is None:
+        weights = [1 << (ring - d) for d in range(ring + 1)]
+    if len(weights) != ring + 1:
+        raise ValueError(f"weights must have ring+1={ring + 1} entries")
+    n = 1 << res
+    x, y = cell_xy(cell)
+    contribs = []
+    for dx in range(-ring, ring + 1):
+        for dy in range(-ring, ring + 1):
+            w = int(weights[max(abs(dx), abs(dy))])
+            nx = F.pmod(x + F.lit(dx), F.lit(n))
+            ny = y + F.lit(dy)
+            tgt = F.lit(res * _RES_SHIFT) + nx * F.lit(_X_SHIFT) + ny
+            contribs.append(
+                F.when(
+                    (ny >= 0) & (ny < n),
+                    F.struct(tgt.alias("cell"), F.lit(w).alias("w")),
+                )
+            )
+    return F.filter(F.array(*contribs), lambda c: c.isNotNull())
+
+
 def kring_smooth(density: DataFrame, res: int, *, ring: int = 1,
                  cell_col_name: str = "cell", value_col: str = "n_points",
                  weights: list[int] | None = None) -> DataFrame:
@@ -52,26 +82,7 @@ def kring_smooth(density: DataFrame, res: int, *, ring: int = 1,
     ``weights[d]`` must be an int per distance 0..ring (default
     ``2^(ring-d)``: ring 1 -> [2, 1]).
     """
-    if weights is None:
-        weights = [1 << (ring - d) for d in range(ring + 1)]
-    if len(weights) != ring + 1:
-        raise ValueError(f"weights must have ring+1={ring + 1} entries")
-    n = 1 << res
-    x, y = cell_xy(F.col(cell_col_name))
-    contribs = []
-    for dx in range(-ring, ring + 1):
-        for dy in range(-ring, ring + 1):
-            w = int(weights[max(abs(dx), abs(dy))])
-            nx = F.pmod(x + F.lit(dx), F.lit(n))
-            ny = y + F.lit(dy)
-            tgt = F.lit(res * _RES_SHIFT) + nx * F.lit(_X_SHIFT) + ny
-            contribs.append(
-                F.when(
-                    (ny >= 0) & (ny < n),
-                    F.struct(tgt.alias("cell"), F.lit(w).alias("w")),
-                )
-            )
-    arr = F.filter(F.array(*contribs), lambda c: c.isNotNull())
+    arr = kring_scatter_col(F.col(cell_col_name), res, ring, weights)
     scat = density.select(
         F.col(value_col).cast("long").alias("_v"), F.explode(arr).alias("t")
     )

@@ -49,3 +49,61 @@ def stream_tile_stats(spark: SparkSession, input_path: str, output_path: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tile_heatmap(spark: SparkSession, input_path: str,
+                        output_path: str, checkpoint_path: str, *,
+                        res: int = 8, ring: int = 1,
+                        weights: list[int] | None = None,
+                        window: str = "10 minutes",
+                        watermark: str = "30 minutes",
+                        trigger_once: bool = True):
+    """Streaming k-ring heatmap: the windowed face of
+    ``spatial.density.kring_smooth``.
+
+    Structured Streaming allows ONE aggregation per query, so the smooth
+    cannot run after the windowed count.  But k-ring smoothing is linear:
+    ``smooth(count(events)) == count_weighted(scatter(events))`` — so
+    each event scatters map-side into its ``(2·ring+1)²`` weighted
+    contributions (``kring_scatter_col``, the exact expression the batch
+    operator uses) and ONE windowed sum produces the smoothed surface.
+    State size is bounded by (windows in flight) × (occupied cells),
+    late rows beyond the watermark are dropped by the state store, and
+    the integer weights keep outputs byte-identical to the batch smooth
+    of the same window's events.
+
+    Output rows: (window_start, window_end, cell, w_sum, n_src) — n_src
+    counts contributing *events* here (batch n_src counts cells; the
+    per-cell density is not materialized in a single-agg stream).
+    """
+    from ..spatial.density import kring_scatter_col
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_path)
+    scat = (
+        stream.withWatermark("ts", watermark)
+        .withColumn("cell0", cell_col(F.col("lon"), F.col("lat"), res))
+        .select(
+            "ts",
+            F.explode(
+                kring_scatter_col(F.col("cell0"), res, ring, weights)
+            ).alias("t"),
+        )
+    )
+    agg = (
+        scat.groupBy(F.window("ts", window).alias("w"), F.col("t.cell").alias("cell"))
+        .agg(F.sum("t.w").alias("w_sum"), F.count(F.lit(1)).alias("n_src"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell", "w_sum", "n_src",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
