@@ -23,7 +23,11 @@ Same two-phase plan as the PIP join (``pip.py``):
 At 100 TB the polygon-cover side is the dimension table (broadcast), the
 big side streams through the join, and refine cost is bounded by
 candidate pairs x (edges_A·edges_B) — the standard overlay-join shape
-(cf. PostGIS ST_Intersects = bbox index + exact predicate).
+(cf. PostGIS ST_Intersects = bbox index + exact predicate; the
+orientation sign tests are the classic segment-intersection primitive,
+e.g. Cormen et al. §33.1).  Generalizes the reference's inner/outer
+containment test (``relation.ts:132-142``) from point-in-ring to
+ring-vs-ring.
 """
 
 from __future__ import annotations

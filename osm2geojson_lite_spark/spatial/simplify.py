@@ -2,7 +2,8 @@
 
 Every tiled-GeoJSON pipeline simplifies way geometries before emitting
 low-zoom tiles; this is the standard Douglas-Peucker split-at-max-
-deviation recursion, run as an Arrow-batched kernel (numpy per geometry,
+deviation recursion (Douglas & Peucker 1973, Cartographica 10(2) — the
+algorithm behind Shapely/PostGIS ``simplify``), run as an Arrow-batched kernel (numpy per geometry,
 never per-point Python) — exactly the per-row-geometry pattern the north
 rule prescribes (pandas/Arrow UDFs for per-row work; the reference's
 fixture geometries stay untouched because simplification is opt-in,
