@@ -1538,6 +1538,73 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): the classic dim-filter -> broadcast ->
+    fact-join -> top-k plan.  Revenue aggregates in EXACT fixed point
+    (cents x discount-percent as bigint — money is fixed-point; float sums
+    are partitioning-order-dependent, integers are not), so the result is
+    byte-stable at any parallelism and the oracle needs no fold tricks."""
+    cust = (_read(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_read(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-06-01")))
+              .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1998-06-01")))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    o = orders.join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    cents = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("_rc"))
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.round(F.col("_rc") / 10000.0, 2).alias("revenue"),
+            "o_orderdate", "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-table join — lineitem is
+    the only fact-sized side; every dimension broadcasts.  Same exact
+    fixed-point revenue as q3."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = (_read(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+                      & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))))
+              .select("o_orderkey", "o_custkey"))
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = (_read(spark, sf_dir, "region")
+           .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    cents = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    j = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp),
+              (F.col("l_suppkey") == supp["s_suppkey"])
+              & (F.col("c_nationkey") == supp["s_nationkey"]))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(cents).alias("_rc"))
+        .select("n_name", F.round(F.col("_rc") / 10000.0, 2).alias("revenue"))
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time join: every click matched to the same user's latest
     error at-or-before it (1-day tolerance).  Exercises
@@ -1708,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "osm_props_merge": q_osm_props_merge,
         "xml_events": q_xml_events,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_int8": q_ann_int8,
@@ -3504,6 +3573,35 @@ def oracle_sql() -> dict[str, str]:
                      else 'test'
                    end split
             from documents
+        """,
+        "tpch_q3": """
+            select l_orderkey::bigint l_orderkey,
+                   round(sum(round(l_extendedprice * 100)::bigint
+                             * (100 - round(l_discount * 100)::bigint))
+                         / 10000.0, 2) revenue,
+                   o_orderdate, o_orderpriority
+            from customer, orders, lineitem
+            where c_mktsegment = 'BUILDING'
+              and c_custkey = o_custkey and l_orderkey = o_orderkey
+              and o_orderdate < timestamp '1998-06-01'
+              and l_shipdate > timestamp '1998-06-01'
+            group by l_orderkey, o_orderdate, o_orderpriority
+            order by revenue desc, l_orderkey asc
+            limit 10
+        """,
+        "tpch_q5": """
+            select n_name,
+                   round(sum(round(l_extendedprice * 100)::bigint
+                             * (100 - round(l_discount * 100)::bigint))
+                         / 10000.0, 2) revenue
+            from customer, orders, lineitem, supplier, nation, region
+            where c_custkey = o_custkey and l_orderkey = o_orderkey
+              and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+              and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+              and r_name = 'ASIA'
+              and o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate < timestamp '1997-01-01'
+            group by n_name
         """,
         "tpch_q1": """
             select l_returnflag, l_linestatus,

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "mixture_tokens",
     "mixture_epochs",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "events_hourly",
     "asof_join",
     "interval_join",

@@ -108,6 +108,11 @@ CHECKS = {
     # cell-cover equi-join with the small side broadcast (never a cross
     # join); the exact refine is one Arrow projection after the join
     "poly_overlap": ["BroadcastHashJoin", "MapInPandas"],
+    # dim filter broadcast onto the fact side; dates pushed to the scans;
+    # top-k is TakeOrdered, never a global sort
+    "tpch_q3": ["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
+    # 6-table join: lineitem is the only shuffled side, all dims broadcast
+    "tpch_q5": ["BroadcastHashJoin", "PushedFilters"],
     # map-side literal-centroid assignment; within-cluster pair join is an
     # equi-join on cid (never a cross join); drop set joins back
     "semantic_dedup": ["HashAggregate"],
