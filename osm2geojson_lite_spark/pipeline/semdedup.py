@@ -72,9 +72,10 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
     )
 
     if not allow_large_clusters:
-        # One bounded driver scalar (guard doubles as a materialization
-        # point for the reused assignment, same fusion convert() uses).
-        asg = asg.persist()
+        # One bounded driver scalar.  The guard job recomputes the
+        # assignment rather than persisting it — assignment is a map-side
+        # projection (cheaper to redo than to cache corpus-wide), and an
+        # un-unpersisted cache would leak across repeated calls.
         biggest = (asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
                    .agg(F.max("n")).collect()[0][0]) or 0
         if biggest > max_cluster_rows:
