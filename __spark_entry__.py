@@ -659,6 +659,40 @@ def q_pip_diamonds(spark, sf_dir):
                       F.col("poly_id").cast("bigint").alias("poly_id"))
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics over the pip_diamonds zones: per-diamond count /
+    sum / min / max / mean of an exact integer point value — the PIP join
+    replayed by the oracle's strict L1 test plus integer aggregation."""
+    from osm2geojson_lite_spark.spatial import zonal_stats
+
+    cust = _read(spark, sf_dir, "customer")
+    points = cust.select(
+        F.col("c_custkey").cast("string").alias("point_id"),
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+        (F.col("c_custkey") % 97).cast("long").alias("value"),
+    )
+    nation = _read(spark, sf_dir, "nation")
+    r = F.lit(12.003)
+    cx = (F.col("n_nationkey") * F.lit(7919) % F.lit(30000)) / F.lit(100.0) - F.lit(150.0)
+    cy = (F.col("n_nationkey") * F.lit(104729) % F.lit(14000)) / F.lit(100.0) - F.lit(70.0)
+    ring = F.to_json(F.array(
+        F.array(cx + r, cy), F.array(cx, cy + r), F.array(cx - r, cy),
+        F.array(cx, cy - r), F.array(cx + r, cy),
+    ))
+    polys = nation.select(F.col("n_nationkey").cast("string").alias("poly_id"),
+                          ring.alias("ring_json"))
+    out = zonal_stats(points, polys, res=7)
+    return out.select(
+        F.col("poly_id").cast("bigint").alias("poly_id"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("sum_value").cast("bigint").alias("sum_value"),
+        F.col("min_value").cast("bigint").alias("min_value"),
+        F.col("max_value").cast("bigint").alias("max_value"),
+        "mean_value",
+    )
+
+
 def q_knn(spark, sf_dir):
     supp = _read(spark, sf_dir, "supplier")
     queries = supp.select(
@@ -1715,7 +1749,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # osm_props_merge by the strictly-stronger 27-fixture byte-exact
     # golden suite pinning P1/P2 end to end, xml_events by
     # test_xml_events.py's full-stream parity vs an independent scanner
-    # over every XML fixture plus its committed golden) so nothing is
+    # over every XML fixture plus its committed golden, media_decode by
+    # the generation-time-spec oracle in test_pipeline_ops plus its green
+    # r4 gate row on unchanged code, tpch_q3/q5 as additional inherited-
+    # relational showcases next to the gated tpch_q1) so nothing is
     # gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
@@ -1730,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "tile_smooth": q_tile_smooth,
         "pip_diamonds": q_pip_diamonds,
+        "zonal_stats": q_zonal_stats,
         "knn_cells": q_knn,
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
@@ -1753,7 +1791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "ann_recall": q_ann_recall,
         "unigram_logprob": q_unigram_logprob,
-        "media_decode": q_media_decode,
         "source_quota": q_source_quota,
         "mixture_sample": q_mixture_sample,
         "mixture_tokens": q_mixture_tokens,
@@ -1775,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "osm_props_merge": q_osm_props_merge,
         "xml_events": q_xml_events,
+        "media_decode": q_media_decode,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2949,6 +2987,26 @@ def oracle_sql() -> dict[str, str]:
             select point_id::bigint point_id, poly_id::bigint poly_id
             from pts, polys
             where abs(lon - cx) + abs(lat - cy) < 12.003
+        """,
+        "zonal_stats": f"""
+            with pts as (select c_custkey point_id, {lon_c} lon, {lat_c} lat,
+                                (c_custkey % 97)::bigint v
+                         from customer),
+            polys as (
+              select n_nationkey poly_id,
+                     (n_nationkey * 7919 % 30000) / 100.0 - 150.0 cx,
+                     (n_nationkey * 104729 % 14000) / 100.0 - 70.0 cy
+              from nation
+            ),
+            hits as (
+              select poly_id, v from pts, polys
+              where abs(lon - cx) + abs(lat - cy) < 12.003
+            )
+            select poly_id::bigint poly_id, count(*)::bigint n_points,
+                   sum(v)::bigint sum_value, min(v)::bigint min_value,
+                   max(v)::bigint max_value,
+                   round(sum(v) / count(*), 9) mean_value
+            from hits group by poly_id
         """,
         "radius_join": f"""
             with l as (select s_suppkey site_id,

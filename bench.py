@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "line_simplify",
     "geom_stats",
     "pip_diamonds",
+    "zonal_stats",
     "poly_overlap",
     "knn_cells",
     "radius_join",

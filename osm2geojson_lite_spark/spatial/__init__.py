@@ -36,6 +36,7 @@ from .overlap import polygon_overlap_join, rings_overlap
 from .pip import pip_join, polygon_cover_cells
 from .range_join import radius_join, radius_res
 from .simplify import dp_keep_indices, simplify_lines
+from .zonal import zonal_stats
 from .raster import raster_tile_assignment, tile_manifest
 
 __all__ = [
@@ -66,6 +67,7 @@ __all__ = [
     "radius_res",
     "dp_keep_indices",
     "simplify_lines",
+    "zonal_stats",
     "raster_tile_assignment",
     "tile_manifest",
 ]

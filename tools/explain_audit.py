@@ -108,6 +108,9 @@ CHECKS = {
     # cell-cover equi-join with the small side broadcast (never a cross
     # join); the exact refine is one Arrow projection after the join
     "poly_overlap": ["BroadcastHashJoin", "MapInPandas"],
+    # PIP-join plan (broadcast cover + Arrow refine) + one partial+final
+    # per-zone aggregation
+    "zonal_stats": ["BroadcastHashJoin", "MapInPandas", "HashAggregate"],
     # dim filter broadcast onto the fact side; dates pushed to the scans;
     # top-k is TakeOrdered, never a global sort
     "tpch_q3": ["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
