@@ -633,6 +633,31 @@ def q_tile_smooth(spark, sf_dir):
     )
 
 
+def q_tile_distinct_hll(spark, sf_dir):
+    """Sketch layer: distinct customers per coarse tile via the mergeable
+    HLL register algebra — sketch order points at res 7, roll the register
+    tables up to res-2 parents by register-wise max (bit-identical to
+    sketching the parents directly), then estimate.  The plan never runs
+    a count(distinct): the shuffle carries at most m=128 rows per cell no
+    matter how many orders feed it, which is the whole point at 100 TB."""
+    from osm2geojson_lite_spark.pipeline import (hll_estimate, hll_merge,
+                                                 hll_sketch)
+    from osm2geojson_lite_spark.spatial.cells import cell_col, cell_parent_col
+
+    orders = _read(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_custkey").alias("cust"),
+        cell_col(_lon(F.col("o_orderkey")), _lat(F.col("o_orderkey")),
+                 7).alias("cell_r7"),
+    )
+    fine = hll_sketch(pts, ["cell_r7"], "cust", p=7)
+    merged = hll_merge(
+        fine.withColumn("parent_cell",
+                        cell_parent_col(F.col("cell_r7"), 7, 2)),
+        ["parent_cell"])
+    return hll_estimate(merged, ["parent_cell"], p=7)
+
+
 def q_pip_diamonds(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     points = cust.select(
@@ -1736,7 +1761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_bm25_indexed_equals_scan's byte-equality to the green
     # bm25_search, text_quality/token_counts by their python-oracle +
     # partitioning-invariance pytest pins over the same tokens_col
-    # kernel a dozen first-50 queries gate, doc_fingerprint by its
+    # kernel a dozen first-50 queries gate, bm25_search by its python
+    # BM25 oracle + byte-identical-scores partitioning-invariance pins
+    # and its green r4 gate row on unchanged scoring code, doc_fingerprint by its
     # full-value python-md5-oracle pin, winnow_fingerprint by
     # test_winnowing_matches_python_and_guarantee's python oracle +
     # the hypothesis property suite, pipeline_clean by
@@ -1766,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cells": q_tile_cells,
         "tile_rollup": q_tile_rollup,
         "tile_smooth": q_tile_smooth,
+        "tile_distinct_hll": q_tile_distinct_hll,
         "pip_diamonds": q_pip_diamonds,
         "zonal_stats": q_zonal_stats,
         "knn_cells": q_knn,
@@ -1802,9 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
-        "bm25_search": q_bm25_search,
         "ngram_topk": q_ngram_topk,
         "shared_spans": q_shared_spans,
+        "bm25_search": q_bm25_search,
         "minhash_signatures": q_minhash_signatures,
         "winnow_fingerprint": q_winnow_fingerprint,
         "pipeline_clean": q_pipeline_clean,
@@ -1877,6 +1905,52 @@ select a.doc_id::bigint id_a, b.doc_id::bigint id_b,
 from nonempty a join nonempty b on a.doc_id < b.doc_id
 where len(list_intersect(a.sh, b.sh))::double
       / len(list_distinct(list_concat(a.sh, b.sh)))::double >= {threshold}
+"""
+
+
+def _hll_tile_sql(p: int = 7) -> str:
+    """Full replay of sketch->merge->estimate for tile_distinct_hll.
+
+    Registers are exact integer bit algebra (md5 60-bit hash, bin() length
+    for the leading-zero run); the harmonic sum folds sorted exact powers
+    of two, so even the double is bit-identical.  The parent cell is
+    computed directly at res 2 — identical to Spark's res-7-then-shift
+    rollup because floor(v*128) >> 5 == floor(v*4) and the clamps commute.
+    """
+    from osm2geojson_lite_spark.pipeline.sketch import _alpha
+
+    m, w = 1 << p, 60 - p
+    alpha = _alpha(m)
+    lon_o = LON_SQL.format(k="o_orderkey")
+    lat_o = LAT_SQL.format(k="o_orderkey")
+    raw = (f"{alpha!r}::double * {m} * {m} "
+           f"/ (sp + ({m} - n_registers_used))")
+    return f"""
+with pts as (
+  select {_cell_sql(lon_o, lat_o, 2)} parent_cell,
+         ('0x' || substr(md5('hll:' || o_custkey::varchar), 1, 15))::bigint h
+  from orders
+),
+reg as (
+  select parent_cell, (h & {m - 1})::int j,
+         case when (h >> {p}) = 0 then {w + 1}
+              else {w + 1} - length(bin(h >> {p})) end rho0
+  from pts
+),
+regs as (select parent_cell, j, max(rho0)::int rho from reg group by 1, 2),
+agg as (
+  select parent_cell, count(*)::int n_registers_used,
+         sum(rho)::bigint sum_rho,
+         list_reduce(list_prepend(0.0,
+             list_sort(list(1.0 / (1::bigint << rho)))), (a, b) -> a + b) sp
+  from regs group by 1
+)
+select parent_cell, n_registers_used, sum_rho,
+       round(case when ({raw}) <= {2.5 * m} and n_registers_used < {m}
+             then {float(m)!r}::double
+                  * ln({float(m)!r}::double / ({m} - n_registers_used))
+             else {raw} end, 4) distinct_est
+from agg
 """
 
 
@@ -2835,6 +2909,7 @@ def oracle_sql() -> dict[str, str]:
             select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
             from customer group by 1
         """,
+        "tile_distinct_hll": _hll_tile_sql(),
         "poly_overlap": f"""
             with la as (
               select n_nationkey pid,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "geom_stats",
     "pip_diamonds",
     "zonal_stats",
+    "tile_distinct_hll",
     "poly_overlap",
     "knn_cells",
     "radius_join",

@@ -41,6 +41,7 @@ from .similarity import (
     sign_lsh_topk,
 )
 from .cluster import connected_components, near_dup_clusters
+from .sketch import hll_estimate, hll_merge, hll_sketch
 from .semdedup import semantic_dedup
 from .compose import clean_corpus
 from .packing import chunk_documents, pack_sequences

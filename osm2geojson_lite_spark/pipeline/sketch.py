@@ -1,0 +1,149 @@
+"""HyperLogLog distinct-count sketches as deterministic column algebra.
+
+At 100 TB "how many distinct users/URLs/documents per key" is a constant
+need (per-tile uniques, per-source dedup rates, per-day reach) and an exact
+``count(distinct ...)`` is one of the most expensive shapes Spark can run:
+the shuffle carries every distinct value.  HyperLogLog (Flajolet et al.
+2007) replaces it with a fixed ``m = 2**p`` register array per group —
+the shuffle carries AT MOST ``m`` rows per group no matter how many
+billions of values feed it, registers merge with ``max`` (so partial
+sketches combine map-side, roll up across time/space hierarchies, and
+re-aggregate without touching raw data), and the standard-error is
+``1.04/sqrt(m)``.
+
+Spark's built-in ``approx_count_distinct`` is the same algorithm, but its
+hash is engine-private: no ANSI-SQL oracle can replay it, and a sketch
+persisted by one engine is garbage to another.  This implementation uses
+the repo-wide md5→60-bit-bigint hash and integer bit algebra only, so
+
+- the register table is BIT-EXACT reproducible by DuckDB (the driver's
+  correctness oracle replays sketch + merge + estimate),
+- persisted register tables are a portable interchange format,
+- every arithmetic step is deterministic at any partitioning: the only
+  float work is the final harmonic mean, folded over ``array_sort``-ed
+  exact powers of two (each ``2**-rho`` is exactly representable, IEEE
+  addition in fixed order is engine-independent).
+
+Register derivation for value ``v`` (word width ``W = 60 - p``):
+
+- ``h  = 60-bit md5 bigint of "salt:v"``
+- ``j  = h & (m-1)``                       (register index, low p bits)
+- ``r  = h >> p``                          (W-bit suffix)
+- ``rho = W - bit_length(r) + 1``          (leading-zero run + 1; W+1 at 0)
+
+``bit_length`` is ``length(bin(r))`` — both engines print minimal binary.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant (same table DuckDB,
+    Redis, and Spark's own HLL++ use for the raw estimator)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hash60(value, salt: str):
+    tagged = F.concat(F.lit(salt + ":"), F.col(value).cast("string"))
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("bigint")
+
+
+def hll_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str, *,
+               p: int = 10, salt: str = "hll") -> DataFrame:
+    """Build per-group HLL register tables: ``(group…, j, rho)``.
+
+    One hash + two bit ops per row, then a single ``groupBy`` whose
+    ``max`` partially aggregates map-side — the shuffle carries at most
+    ``m`` rows per group regardless of input cardinality (THE property
+    that makes distinct-counting tractable at 100 TB).  Registers that no
+    value hit are implicit (absent row == 0); ``hll_estimate`` accounts
+    for them, keeping the table sparse for low-cardinality groups.
+
+    ``p`` in [4, 16]: m = 2**p registers, relative error ~1.04/sqrt(m)
+    (p=10 → ±3.2%).  NULL values are ignored (SQL ``count(distinct)``
+    semantics).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    w = HASH_BITS - p
+    h = _hash60(value_col, salt)
+    out = df.where(F.col(value_col).isNotNull()).select(
+        *[F.col(g) for g in group_cols],
+        h.alias("_h"),
+    ).select(
+        *group_cols,
+        F.col("_h").bitwiseAND(F.lit(m - 1)).cast("int").alias("j"),
+        F.expr("shiftright(_h, {p})".format(p=p)).alias("_r"),
+    ).select(
+        *group_cols,
+        "j",
+        F.when(F.col("_r") == 0, F.lit(w + 1))
+         .otherwise(F.lit(w + 1) - F.length(F.expr("bin(_r)")))
+         .cast("int").alias("rho"),
+    )
+    return out.groupBy(*group_cols, "j").agg(F.max("rho").alias("rho"))
+
+
+def hll_merge(registers: DataFrame,
+              group_cols: Sequence[str]) -> DataFrame:
+    """Merge sketches by register-wise ``max`` under a coarser grouping.
+
+    ``max`` is associative/commutative/idempotent, so merged registers are
+    IDENTICAL to the sketch built directly from the union of the inputs —
+    no approximation is added by merging.  This is the rollup primitive:
+    child tiles → parent tile, daily → monthly, per-partition partials →
+    global, all without rescanning raw data.
+    """
+    return registers.groupBy(*group_cols, "j").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: Sequence[str], *,
+                 p: int) -> DataFrame:
+    """Estimate per-group distinct counts from a register table.
+
+    Output: ``(group…, n_registers_used, sum_rho, distinct_est)`` —
+    the two integer columns are exact digests of the register state (for
+    cross-engine comparison and drift checks), ``distinct_est`` is the
+    HLL estimate rounded to 4 dp.
+
+    Determinism: each ``2**-rho`` term is ``1.0 / (1 << rho)`` — an exact
+    power of two — and the harmonic sum folds the ``array_sort``-ed term
+    list, so the double is bit-identical at any partitioning and in any
+    IEEE-754 engine.  Small-range (linear counting) correction applies
+    below ``2.5*m`` with empty registers present, per the paper.
+    """
+    m = 1 << p
+    alpha = _alpha(m)
+    terms = F.array_sort(F.collect_list(F.expr(
+        "1.0 / cast(shiftleft(cast(1 as bigint), rho) as double)")))
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_registers_used"),
+        F.sum("rho").cast("bigint").alias("sum_rho"),
+        F.aggregate(terms, F.lit(0.0),
+                    lambda acc, x: acc + x).alias("_sum_present"),
+    )
+    zeros = F.lit(m) - F.col("n_registers_used")
+    sum_inv = F.col("_sum_present") + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / sum_inv
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros))\
+           .otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_registers_used",
+        "sum_rho",
+        F.round(est, 4).alias("distinct_est"),
+    )

@@ -111,6 +111,9 @@ CHECKS = {
     # PIP-join plan (broadcast cover + Arrow refine) + one partial+final
     # per-zone aggregation
     "zonal_stats": ["BroadcastHashJoin", "MapInPandas", "HashAggregate"],
+    # register build + merge + estimate are three partial+final aggs over
+    # at most m rows/group; no join, no window, no count(distinct)
+    "tile_distinct_hll": ["HashAggregate"],
     # dim filter broadcast onto the fact side; dates pushed to the scans;
     # top-k is TakeOrdered, never a global sort
     "tpch_q3": ["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
