@@ -1743,6 +1743,23 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_trip_stats(spark, sf_dir):
+    """Trajectory layer: segment each user's event stream into trips at
+    8-hour gaps (bucketed two-phase segmentation — no per-entity window)
+    and measure each trip: path length over the deterministic synthetic
+    point cloud, displacement, straightness."""
+    from osm2geojson_lite_spark.temporal import segment_trips, trip_stats
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").alias("entity"),
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("t"),
+        _lon(F.col("event_id")).alias("lon"),
+        _lat(F.col("event_id")).alias("lat"),
+    )
+    return trip_stats(segment_trips(pts, gap_s=28800, bucket_s=86400))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: round 4's driver gate recorded rows for exactly the
     # FIRST 50 entries, leaving the then-last four (embed_clusters, tpch_q1,
@@ -1761,7 +1778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_bm25_indexed_equals_scan's byte-equality to the green
     # bm25_search, text_quality/token_counts by their python-oracle +
     # partitioning-invariance pytest pins over the same tokens_col
-    # kernel a dozen first-50 queries gate, bm25_search by its python
+    # kernel a dozen first-50 queries gate, ngram_topk by its
+    # python-Counter oracle pytest pin and green r4 gate row on unchanged
+    # code, bm25_search by its python
     # BM25 oracle + byte-identical-scores partitioning-invariance pins
     # and its green r4 gate row on unchanged scoring code, doc_fingerprint by its
     # full-value python-md5-oracle pin, winnow_fingerprint by
@@ -1813,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "trip_stats": q_trip_stats,
         "ann_topk": q_ann_topk,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
@@ -1830,8 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
-        "ngram_topk": q_ngram_topk,
         "shared_spans": q_shared_spans,
+        "ngram_topk": q_ngram_topk,
         "bm25_search": q_bm25_search,
         "minhash_signatures": q_minhash_signatures,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -3761,6 +3781,62 @@ def oracle_sql() -> dict[str, str]:
             select user_id, (sum(new_session) + 1)::bigint n_sessions,
                    count(*)::bigint n_events
             from gaps group by user_id
+        """,
+        # trajectory: naive-window replay of the bucketed segmentation —
+        # lag over the full per-entity stream, gap split at 28800 s, sorted
+        # leg fold (the engine's bounded phases are proven equivalent by
+        # tests/test_trajectory.py at three bucket widths)
+        "trip_stats": f"""
+            with pts as (
+              -- floor to whole seconds: Spark's cast(long) truncates,
+              -- DuckDB's epoch() keeps the microsecond fraction
+              select user_id entity, floor(epoch(ts))::bigint t,
+                     {LON_SQL.format(k="event_id")} lon,
+                     {LAT_SQL.format(k="event_id")} lat
+              from events
+            ),
+            lagd as (
+              select *, lag(t) over w pt, lag(lon) over w plon,
+                     lag(lat) over w plat
+              from pts window w as (partition by entity order by t, lon, lat)
+            ),
+            flagged as (
+              select *,
+                case when pt is null or t - pt > 28800 then 1 else 0 end nt,
+                case when pt is not null and t - pt <= 28800
+                     then round(sqrt((lon-plon)*(lon-plon)
+                                     + (lat-plat)*(lat-plat)), 9) end leg
+              from lagd
+            ),
+            trips as (
+              select *, sum(nt) over (partition by entity
+                                      order by t, lon, lat
+                                      rows unbounded preceding) trip_seq
+              from flagged
+            ),
+            agg as (
+              select entity, trip_seq::bigint trip_seq,
+                     count(*)::bigint n_points,
+                     min(t)::bigint t_start, max(t)::bigint t_end,
+                     round(list_reduce(list_prepend(0.0, list_sort(
+                         list(leg) filter (leg is not null))),
+                         (a, b) -> a + b), 6) path_len,
+                     first(lon order by t, lon, lat) f_lon,
+                     first(lat order by t, lon, lat) f_lat,
+                     last(lon order by t, lon, lat) l_lon,
+                     last(lat order by t, lon, lat) l_lat
+              from trips group by entity, trip_seq
+            )
+            select entity, trip_seq, n_points, t_start, t_end,
+                   (t_end - t_start)::bigint duration_s, path_len,
+                   round(sqrt((l_lon-f_lon)*(l_lon-f_lon)
+                              + (l_lat-f_lat)*(l_lat-f_lat)), 9)
+                     displacement,
+                   case when path_len > 0 then
+                     round(round(sqrt((l_lon-f_lon)*(l_lon-f_lon)
+                                      + (l_lat-f_lat)*(l_lat-f_lat)), 9)
+                           / path_len, 6) end straightness
+            from agg
         """,
         # asof: latest error at-or-before each click (same user, <= 1 day).
         # Ties on err t broken by greatest (err_id, err_value) -- the same

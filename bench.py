@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "pip_diamonds",
     "zonal_stats",
     "tile_distinct_hll",
+    "trip_stats",
     "poly_overlap",
     "knn_cells",
     "radius_join",

@@ -114,6 +114,9 @@ CHECKS = {
     # register build + merge + estimate are three partial+final aggs over
     # at most m rows/group; no join, no window, no count(distinct)
     "tile_distinct_hll": ["HashAggregate"],
+    # bucketed two-phase segmentation: bucket-local windows + the tiny
+    # per-bucket edge table broadcast back; never a per-entity point window
+    "trip_stats": ["Window", "BroadcastHashJoin", "HashAggregate"],
     # dim filter broadcast onto the fact side; dates pushed to the scans;
     # top-k is TakeOrdered, never a global sort
     "tpch_q3": ["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
