@@ -41,7 +41,10 @@ BENCH_QUERIES = [
     "pip_diamonds",
     "zonal_stats",
     "tile_distinct_hll",
+    "cms_counts",
     "trip_stats",
+    "od_matrix",
+    "seg_intersect",
     "poly_overlap",
     "knn_cells",
     "radius_join",

@@ -41,7 +41,9 @@ from .similarity import (
     sign_lsh_topk,
 )
 from .cluster import connected_components, near_dup_clusters
-from .sketch import hll_estimate, hll_merge, hll_sketch
+from .sketch import (cms_merge, cms_query, cms_sketch,
+                     hll_estimate, hll_merge, hll_sketch)
+from .project import projection_signs, random_projection
 from .semdedup import semantic_dedup
 from .compose import clean_corpus
 from .packing import chunk_documents, pack_sequences
@@ -59,10 +61,18 @@ from .text import (
 
 __all__ = [
     "clean_corpus",
+    "cms_merge",
+    "cms_query",
+    "cms_sketch",
     "connected_components",
+    "hll_estimate",
+    "hll_merge",
+    "hll_sketch",
     "decontaminate",
     "near_dup_clusters",
     "pii_scrub",
+    "projection_signs",
+    "random_projection",
     "exact_duplicates",
     "minhash_near_duplicates",
     "minhash_signatures",

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 HASH_BITS = 60
 
@@ -56,7 +56,8 @@ def _alpha(m: int) -> float:
 
 
 def _hash60(value, salt: str):
-    tagged = F.concat(F.lit(salt + ":"), F.col(value).cast("string"))
+    col = value if isinstance(value, Column) else F.col(value)
+    tagged = F.concat(F.lit(salt + ":"), col.cast("string"))
     return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("bigint")
 
 
@@ -146,4 +147,96 @@ def hll_estimate(registers: DataFrame, group_cols: Sequence[str], *,
         "n_registers_used",
         "sum_rho",
         F.round(est, 4).alias("distinct_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — frequency companion
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str, *,
+               width_bits: int = 10, depth: int = 4,
+               weight_col: str | None = None,
+               salt: str = "cms") -> DataFrame:
+    """Build per-group count-min register tables: ``(group…, d, j, cnt)``.
+
+    The frequency twin of ``hll_sketch``: "how often does each value
+    occur per key" without carrying per-value rows.  Each input row adds
+    its weight (default 1) to one counter per hash row ``d`` — a single
+    ``groupBy … sum`` whose partials combine map-side, so the shuffle
+    carries at most ``depth * 2**width_bits`` rows per group no matter
+    how many billions of values feed it.  Point-query error is one-sided
+    (over-count only), bounded by ``e/width * N`` with probability
+    ``1 - e**-depth`` (Cormode & Muthukrishnan 2005).
+
+    Counters are exact integers from the repo-wide md5→60-bit hash —
+    bit-identical at any partitioning and in any engine, so a DuckDB
+    oracle rebuilds the register table exactly and persisted sketches are
+    a portable interchange format (same contract as the HLL registers).
+    Registers no value hit are implicit zeros (absent row == 0).
+    """
+    if not 4 <= width_bits <= 20:
+        raise ValueError(f"width_bits must be in [4, 20], got {width_bits}")
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth must be in [1, 8], got {depth}")
+    w = 1 << width_bits
+    weight = (F.col(weight_col) if weight_col is not None
+              else F.lit(1)).cast("bigint")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        weight.alias("_w"),
+        F.posexplode(F.array(*[
+            _hash60(value_col, f"{salt}{d}")
+            .bitwiseAND(F.lit(w - 1)).cast("int")
+            for d in range(depth)
+        ])).alias("d", "j"),
+    )
+    return rows.groupBy(*group_cols, "d", "j").agg(
+        F.sum("_w").alias("cnt"))
+
+
+def cms_merge(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge sketches by counter-wise ``sum`` under a coarser grouping.
+
+    Counters are linear, so the merged sketch is IDENTICAL to the sketch
+    built directly from the union of the inputs — the same exact-rollup
+    property as ``hll_merge`` (child tiles → parent, daily → monthly,
+    partition partials → global) without rescanning raw data.
+    """
+    return registers.groupBy(*group_cols, "d", "j").agg(
+        F.sum("cnt").alias("cnt"))
+
+
+def cms_query(registers: DataFrame, probes: DataFrame,
+              group_cols: Sequence[str], value_col: str, *,
+              width_bits: int = 10, depth: int = 4,
+              salt: str = "cms") -> DataFrame:
+    """Point-query a register table: ``(group…, value, est)``.
+
+    ``probes`` carries ``group_cols + value_col`` (cross small panels
+    against the group list caller-side).  Each probe explodes to its
+    ``depth`` register coordinates, left-joins the register table on
+    ``(group…, d, j)`` (absent counter == 0), and takes the row-wise
+    ``min`` — never an over-count below the true frequency.  The probe
+    side is the small one; at 100 TB the register table is the
+    pre-aggregated standing index and each query panel is a bounded
+    broadcast-shaped join.
+    """
+    w = 1 << width_bits
+    probe = probes.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.posexplode(F.array(*[
+            _hash60(value_col, f"{salt}{d}")
+            .bitwiseAND(F.lit(w - 1)).cast("int")
+            for d in range(depth)
+        ])).alias("d", "j"),
+    )
+    est = probe.join(registers, [*group_cols, "d", "j"], "left")
+    return (
+        est.groupBy(*group_cols, "_v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint")
+             .alias("est"))
+        .withColumnRenamed("_v", value_col)
     )

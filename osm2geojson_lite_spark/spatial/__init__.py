@@ -31,6 +31,7 @@ from .geomstats import (
     ring_perimeter_col,
     ring_signed_area_col,
 )
+from .intersect import segment_intersection_join
 from .knn import knn_join
 from .overlap import polygon_overlap_join, rings_overlap
 from .pip import pip_join, polygon_cover_cells
@@ -61,6 +62,7 @@ __all__ = [
     "knn_join",
     "pip_join",
     "polygon_overlap_join",
+    "segment_intersection_join",
     "rings_overlap",
     "polygon_cover_cells",
     "radius_join",

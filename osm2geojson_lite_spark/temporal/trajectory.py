@@ -51,7 +51,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["segment_trips", "trip_stats"]
+__all__ = ["segment_trips", "trip_stats", "od_matrix"]
 
 
 def _dist(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
@@ -173,4 +173,32 @@ def trip_stats(trips: DataFrame) -> DataFrame:
         path.alias("path_len"),
         disp.alias("displacement"),
         F.when(path > 0, F.round(disp / path, 6)).alias("straightness"),
+    )
+
+
+def od_matrix(trips: DataFrame, *, res: int = 8) -> DataFrame:
+    """Origin-destination flow matrix over ``segment_trips`` output.
+
+    ``(o_cell, d_cell, n_trips)`` — each trip contributes one flow from
+    the grid cell of its first point to the cell of its last point (the
+    transit-planning rollup).  Two partial+final aggregations and nothing
+    else: trip endpoints shrink each trip to one row map-side before the
+    per-trip shuffle, and the flow count combines map-side before the
+    per-cell-pair shuffle — no window, no join, no funnel.  Cell ids are
+    the rational-arithmetic grid of ``spatial/cells.py``, so the oracle
+    replays them exactly.
+    """
+    from ..spatial.cells import cell_col
+
+    ends = trips.groupBy("entity", "trip_seq").agg(
+        F.min(F.struct("t", "lon", "lat")).alias("_o"),
+        F.max(F.struct("t", "lon", "lat")).alias("_d"),
+    )
+    return (
+        ends.select(
+            cell_col(F.col("_o.lon"), F.col("_o.lat"), res).alias("o_cell"),
+            cell_col(F.col("_d.lon"), F.col("_d.lat"), res).alias("d_cell"),
+        )
+        .groupBy("o_cell", "d_cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trips"))
     )

@@ -95,3 +95,91 @@ def test_nulls_ignored_and_p_validated(spark):
     assert regs.count() == len(_py_registers([str(i) for i in range(5)], 6))
     with pytest.raises(ValueError):
         hll_sketch(df, ["g"], "u", p=3)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+from osm2geojson_lite_spark.pipeline.sketch import (  # noqa: E402
+    cms_merge,
+    cms_query,
+    cms_sketch,
+)
+
+
+def _py_cms(weighted_vals, width_bits, depth, salt="cms"):
+    w, regs = 1 << width_bits, {}
+    for v, wt in weighted_vals:
+        for d in range(depth):
+            h = int(hashlib.md5(f"{salt}{d}:{v}".encode()).hexdigest()[:15], 16)
+            key = (d, h & (w - 1))
+            regs[key] = regs.get(key, 0) + wt
+    return regs
+
+
+def _py_cms_query(regs, v, width_bits, depth, salt="cms"):
+    w = 1 << width_bits
+    ests = []
+    for d in range(depth):
+        h = int(hashlib.md5(f"{salt}{d}:{v}".encode()).hexdigest()[:15], 16)
+        ests.append(regs.get((d, h & (w - 1)), 0))
+    return min(ests)
+
+
+def _zipf_df(spark, n=6000, groups=2):
+    # value v occurs ~ n/v times within each group (heavy head)
+    return spark.range(n).select(
+        (F.col("id") % groups).alias("g"),
+        F.concat(F.lit("t"), ((F.col("id") * F.col("id")) % 97).cast("string"))
+         .alias("v"),
+    )
+
+
+def test_cms_registers_match_python_oracle(spark):
+    df = _zipf_df(spark)
+    got = {(r.g, r.d, r.j): r.cnt
+           for r in cms_sketch(df, ["g"], "v", width_bits=6, depth=3).collect()}
+    for g in range(2):
+        vals = [("t" + str((i * i) % 97), 1) for i in range(6000) if i % 2 == g]
+        want = _py_cms(vals, 6, 3)
+        assert {(d, j): c for (gg, d, j), c in got.items() if gg == g} == want
+
+
+def test_cms_query_one_sided_and_bounded(spark):
+    df = _zipf_df(spark)
+    exact = {(r.g, r.v): r.n for r in
+             df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    regs = cms_sketch(df, ["g"], "v", width_bits=8, depth=4)
+    probes = df.select("g", "v").distinct()
+    est = {(r.g, r.v): r.est for r in
+           cms_query(regs, probes, ["g"], "v",
+                     width_bits=8, depth=4).collect()}
+    n_per_group = 3000
+    for k, true in exact.items():
+        assert est[k] >= true                       # never under-counts
+        assert est[k] <= true + (2.72 / 256) * n_per_group * 4
+
+
+def test_cms_merge_equals_direct(spark):
+    df = _zipf_df(spark).withColumn("sub", F.col("v").substr(2, 1))
+    fine = cms_sketch(df, ["g", "sub"], "v", width_bits=6, depth=3)
+    merged = cms_merge(fine, ["g"])
+    direct = cms_sketch(df, ["g"], "v", width_bits=6, depth=3)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_weighted_and_partitioning_invariance(spark):
+    rows = [(0, "a", 5), (0, "a", 7), (0, "b", 1), (0, "c", 100)]
+    df = spark.createDataFrame(rows, "g int, v string, wt long")
+    want = _py_cms([(v, wt) for _, v, wt in rows], 5, 2)
+    for parts in (1, 8):
+        got = {(r.d, r.j): r.cnt for r in
+               cms_sketch(df.repartition(parts), ["g"], "v", width_bits=5,
+                          depth=2, weight_col="wt").collect()}
+        assert got == want
+    # python query replay agrees on a present and an absent key
+    assert _py_cms_query(want, "a", 5, 2) >= 12
+    with pytest.raises(ValueError):
+        cms_sketch(df, ["g"], "v", width_bits=2)

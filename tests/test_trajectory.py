@@ -9,7 +9,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from osm2geojson_lite_spark.temporal import segment_trips, trip_stats
+from osm2geojson_lite_spark.temporal import od_matrix, segment_trips, trip_stats
 
 
 def _py_trips(points, gap_s):
@@ -109,6 +109,44 @@ def test_handcrafted_gap_semantics(spark):
     t2 = out[(1, 2)]
     assert (t2.n_points, t2.path_len, t2.straightness) == (1, 0.0, None)
     assert out[(2, 1)].n_points == 1
+
+
+def test_od_matrix_matches_python_oracle(spark):
+    pts = _points(n=500, entities=5)
+    df = spark.createDataFrame(pts, "entity int, t long, lon double, lat double")
+    res = 8
+    n = 1 << res
+
+    def cell(lon, lat):
+        x = min(n - 1, max(0, math.floor((lon - -180.0) / 360.0 * n)))
+        y = min(n - 1, max(0, math.floor((lat - -90.0) / 180.0 * n)))
+        return res * (1 << 56) + x * (1 << 28) + y
+
+    _, stats = _py_trips(pts, 5000)
+    flows = {}
+    by_trip = {}
+    for e, t, lon, lat in pts:
+        by_trip.setdefault(e, []).append((t, lon, lat))
+    # rebuild per-trip endpoints from the oracle labels
+    labels, _ = _py_trips(pts, 5000)
+    ends = {}
+    for (e, t, lon, lat), (seq, _leg) in labels.items():
+        k = (e, seq)
+        cur = ends.get(k)
+        if cur is None:
+            ends[k] = [(t, lon, lat), (t, lon, lat)]
+        else:
+            ends[k][0] = min(cur[0], (t, lon, lat))
+            ends[k][1] = max(cur[1], (t, lon, lat))
+    for (_, _), (o, d) in ends.items():
+        key = (cell(o[1], o[2]), cell(d[1], d[2]))
+        flows[key] = flows.get(key, 0) + 1
+    for parts in (1, 16):
+        got = {(r.o_cell, r.d_cell): r.n_trips
+               for r in od_matrix(
+                   segment_trips(df.repartition(parts), gap_s=5000,
+                                 bucket_s=40_000), res=res).collect()}
+        assert got == flows
 
 
 def test_validation(spark):

@@ -114,9 +114,19 @@ CHECKS = {
     # register build + merge + estimate are three partial+final aggs over
     # at most m rows/group; no join, no window, no count(distinct)
     "tile_distinct_hll": ["HashAggregate"],
+    # counter build is one partial+final sum; the panel probe explodes to
+    # depth coordinates and joins the register table — no count(distinct)
+    "cms_counts": ["HashAggregate", "Generate"],
     # bucketed two-phase segmentation: bucket-local windows + the tiny
     # per-bucket edge table broadcast back; never a per-entity point window
     "trip_stats": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    # endpoints shrink map-side before the per-trip shuffle; flows combine
+    # map-side before the per-cell-pair shuffle
+    "od_matrix": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    # cover explode (Generate) + broadcast cell equi-join; the orientation
+    # refine and reference-point dedup are filters in codegen — no
+    # CartesianProduct, no dropDuplicates exchange
+    "seg_intersect": ["Generate", "BroadcastHashJoin"],
     # dim filter broadcast onto the fact side; dates pushed to the scans;
     # top-k is TakeOrdered, never a global sort
     "tpch_q3": ["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
