@@ -20,6 +20,7 @@ oracle share no code).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -685,6 +686,23 @@ def q_cms_counts(spark, sf_dir):
     )
 
 
+def q_price_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles: p25/p50/p90/p99 of order totalprice
+    per priority from a 512-bin fixed-grid register table — the
+    deterministic, mergeable, cross-engine-portable alternative to
+    approx_percentile.  The shuffle carries <= 512 rows per priority at
+    any input size; the oracle replays binning, cumsum, rank target, and
+    in-bin interpolation exactly."""
+    from osm2geojson_lite_spark.pipeline import hist_quantiles, hist_sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    regs = hist_sketch(orders, ["o_orderpriority"], "o_totalprice",
+                       lo=0.0, hi=600000.0, bins=512)
+    return hist_quantiles(regs, ["o_orderpriority"],
+                          [0.25, 0.5, 0.9, 0.99],
+                          lo=0.0, hi=600000.0, bins=512)
+
+
 def q_pip_diamonds(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     points = cust.select(
@@ -780,6 +798,33 @@ def q_seg_intersect(spark, sf_dir):
         F.col("left_id").cast("bigint").alias("left_id"),
         F.col("right_id").cast("bigint").alias("right_id"),
         "px", "py",
+    )
+
+
+def q_snap_points(spark, sf_dir):
+    """Map matching: snap each customer point to its nearest supplier
+    segment within radius 2 — disk x cover candidate join, clamped
+    projection in codegen, min(struct) argmin (no window).  The oracle
+    replays a naive all-pairs join with identical formulas and a
+    row_number argmin; equality proves the disk/cover superset and the
+    groupBy-min tiebreak."""
+    from osm2geojson_lite_spark.spatial import snap_join
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        k.cast("bigint").alias("pid"),
+        ((k * F.lit(7919) % F.lit(3000)) / F.lit(100.0)).alias("lon"),
+        ((k * F.lit(104729) % F.lit(3000)) / F.lit(100.0)).alias("lat"),
+    )
+    segs = _segments(_read(spark, sf_dir, "supplier"), "s_suppkey",
+                     104729, 7919, 13, 37)
+    out = snap_join(pts, segs, 2.0, point_id="pid", seg_id="id", res=6,
+                    broadcast_segments=True)
+    return out.select(
+        F.col("point_id").cast("bigint").alias("point_id"),
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        "t", "snap_x", "snap_y", "dist2",
     )
 
 
@@ -1592,6 +1637,24 @@ def q_shared_spans(spark, sf_dir):
     )
 
 
+def q_embed_project(spark, sf_dir):
+    """JL sign random projection 64 -> 16 dims (Achlioptas 2003): the
+    map-side preprocessing step before indexing/clustering at scale.  The
+    k x d sign matrix is one ~2 KB literal baked into the plan (no join,
+    no shuffle); components are scale * index-order folds rounded to 9 dp,
+    so the DuckDB oracle replays every one of the 16 output columns
+    bit-for-bit from the same python-generated sign rows."""
+    from osm2geojson_lite_spark.pipeline import random_projection
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = random_projection(emb, k=16, dims=64)
+    return out.select(
+        "vec_id",
+        *[F.element_at(F.col("proj"), j).alias(f"p{j}")
+          for j in range(1, 17)],
+    )
+
+
 def q_embed_clusters(spark, sf_dir):
     """Corpus clustering: every embedding labeled with its nearest trained
     k-means centroid (map-side literal assignment — zero shuffle for the
@@ -1825,6 +1888,29 @@ def q_trip_stats(spark, sf_dir):
     return trip_stats(segment_trips(pts, gap_s=28800, bucket_s=86400))
 
 
+def q_stay_points(spark, sf_dir):
+    """Dwell detection over synthetic home-plus-jitter pings (every 7th
+    event is a 2-degree excursion that breaks the run): maximal stay runs
+    >= 20 min via the movement-split segmentation.  Oracle = naive
+    per-entity window replay of the extended break predicate + sorted
+    centroid folds."""
+    from osm2geojson_lite_spark.temporal import stay_points
+
+    ev = _read(spark, sf_dir, "events")
+    u, eid = F.col("user_id"), F.col("event_id")
+    jit_lon = (eid * F.lit(13) % F.lit(100)) / F.lit(1000.0) - F.lit(0.05)
+    jit_lat = (eid * F.lit(17) % F.lit(100)) / F.lit(1000.0) - F.lit(0.05)
+    exc = F.when(eid % 7 == 0, F.lit(2.0)).otherwise(F.lit(0.0))
+    pts = ev.select(
+        u.alias("entity"),
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("t"),
+        (_lon(u) + jit_lon + exc).alias("lon"),
+        (_lat(u) + jit_lat).alias("lat"),
+    )
+    return stay_points(pts, max_dist=0.15, min_duration_s=1200,
+                       gap_s=28800, bucket_s=86400)
+
+
 def q_od_matrix(spark, sf_dir):
     """Origin-destination flow matrix over the trip segmentation: each
     user trip contributes one (origin cell -> destination cell) flow at
@@ -1900,9 +1986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_smooth": q_tile_smooth,
         "tile_distinct_hll": q_tile_distinct_hll,
         "cms_counts": q_cms_counts,
+        "price_quantiles": q_price_quantiles,
         "pip_diamonds": q_pip_diamonds,
         "zonal_stats": q_zonal_stats,
         "seg_intersect": q_seg_intersect,
+        "snap_points": q_snap_points,
         "knn_cells": q_knn,
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
@@ -1911,7 +1999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "doc_chunks": q_doc_chunks,
-        "lang_id": q_lang_id,
         "geojson_read": q_geojson_read,
         "embed_clusters": q_embed_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -1922,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "trip_stats": q_trip_stats,
         "od_matrix": q_od_matrix,
+        "stay_points": q_stay_points,
         "ann_topk": q_ann_topk,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
@@ -1930,17 +2018,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "source_quota": q_source_quota,
         "mixture_sample": q_mixture_sample,
-        "mixture_tokens": q_mixture_tokens,
-        "embedding_neardup": q_embedding_neardup,
         "passage_dedup": q_passage_dedup,
         "embed_quantize": q_embed_quantize,
+        "embed_project": q_embed_project,
         "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
         "shared_spans": q_shared_spans,
         "ngram_topk": q_ngram_topk,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "embedding_neardup": q_embedding_neardup,
+        "mixture_tokens": q_mixture_tokens,
+        "dedup_clusters": q_dedup_clusters,
+        "lang_id": q_lang_id,
         "bm25_search": q_bm25_search,
         "minhash_signatures": q_minhash_signatures,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -2015,6 +2105,26 @@ from nonempty a join nonempty b on a.doc_id < b.doc_id
 where len(list_intersect(a.sh, b.sh))::double
       / len(list_distinct(list_concat(a.sh, b.sh)))::double >= {threshold}
 """
+
+
+def _embed_project_sql(k: int = 16, d: int = 64) -> str:
+    """Replay of q_embed_project: each output dim inlines its own sign
+    row and folds x_i * s_i in index order from an exact 0.0 (the repo's
+    sorted/index-fold parity contract), scaled by 1/sqrt(k) = 0.25."""
+    from osm2geojson_lite_spark.pipeline import projection_signs
+
+    rows = projection_signs(k, d)
+    scale = repr(1.0 / math.sqrt(k))
+    cols = []
+    for j, row in enumerate(rows, start=1):
+        lit = "[" + ", ".join(f"{v:.1f}" for v in row) + "]"
+        cols.append(
+            f"round({scale} * list_reduce(list_prepend(0.0, "
+            f"list_transform(generate_series(1, {d}), "
+            f"i -> embedding[i]::double * ({lit})[i])), "
+            f"(a, b) -> a + b), 9) p{j}"
+        )
+    return "select vec_id, " + ", ".join(cols) + " from embeddings"
 
 
 def _hll_tile_sql(p: int = 7) -> str:
@@ -3019,6 +3129,43 @@ def oracle_sql() -> dict[str, str]:
             from customer group by 1
         """,
         "tile_distinct_hll": _hll_tile_sql(),
+        # price_quantiles: full replay of the histogram sketch — identical
+        # binning expression tree, windowed cumsum over the tiny register
+        # table, ceil rank target, in-bin linear interpolation
+        "price_quantiles": """
+            with regs as (
+              select o_orderpriority g,
+                     greatest(0, least(511, floor(
+                         (o_totalprice::double - 0.0) / 600000.0 * 512
+                     )::bigint))::int bin,
+                     count(*)::bigint cnt
+              from orders group by 1, 2
+            ),
+            tot as (select g, sum(cnt)::bigint n from regs group by 1),
+            cum as (
+              select regs.g, bin, cnt, n,
+                     sum(cnt) over (partition by regs.g order by bin
+                                    rows unbounded preceding) cum
+              from regs join tot using (g)
+            ),
+            qs as (select unnest([0.25::double, 0.5::double,
+                                  0.9::double, 0.99::double]) q),
+            cand as (
+              select g, q, bin, cnt, cum, n
+              from cum cross join qs
+              where cum >= greatest(1, ceil(q * n))
+            ),
+            r as (
+              select *, row_number() over (partition by g, q
+                                           order by bin) rk
+              from cand
+            )
+            select g o_orderpriority, q, n,
+                   round(0.0 + (bin + (greatest(1, ceil(q * n))
+                                       - (cum - cnt)) / cnt::double)
+                         * 1171.875, 9) est
+            from r where rk = 1
+        """,
         # cms_counts: full replay of the count-min build + panel probe —
         # counters are exact integer algebra over the repo md5 hash, so
         # the register tables match bit-for-bit and min-over-rows is exact
@@ -3263,6 +3410,55 @@ def oracle_sql() -> dict[str, str]:
             where ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
               and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0))
         """,
+        # snap_points: naive all-pairs replay of the disk x cover join +
+        # min(struct) argmin — identical clamp/round sequence, row_number
+        # with the same (d2, sid) order
+        "snap_points": """
+            with p as (
+              select c_custkey pid,
+                     (c_custkey * 7919 % 3000) / 100.0 px,
+                     (c_custkey * 104729 % 3000) / 100.0 py
+              from customer
+            ),
+            s as (
+              select s_suppkey sid,
+                     (s_suppkey * 104729 % 3000) / 100.0 x1,
+                     (s_suppkey * 7919 % 3000) / 100.0 y1,
+                     (s_suppkey * 104729 % 3000) / 100.0
+                       + ((s_suppkey * 13 % 600) / 100.0 - 3.0) x2,
+                     (s_suppkey * 7919 % 3000) / 100.0
+                       + ((s_suppkey * 37 % 600) / 100.0 - 3.0) y2
+              from supplier
+            ),
+            sc as (
+              select pid, sid, px, py, x1, y1, (x2 - x1) dx, (y2 - y1) dy,
+                case when (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) > 0
+                     then least(1.0, greatest(0.0,
+                          ((px-x1)*(x2-x1) + (py-y1)*(y2-y1))
+                          / ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))))
+                     else 0.0 end tc
+              from p cross join s
+            ),
+            sn as (
+              select pid, sid, round(tc, 9) t,
+                     round(x1 + tc * dx, 9) cx, round(y1 + tc * dy, 9) cy,
+                     px, py
+              from sc
+            ),
+            d as (
+              select pid, sid, t, cx, cy,
+                     round((px-cx)*(px-cx) + (py-cy)*(py-cy), 9) d2
+              from sn
+            ),
+            r as (
+              select *, row_number() over (partition by pid
+                                           order by d2, sid) rk
+              from d where d2 <= 4.0
+            )
+            select pid::bigint point_id, sid::bigint seg_id, t,
+                   cx snap_x, cy snap_y, d2 dist2
+            from r where rk = 1
+        """,
         "radius_join": f"""
             with l as (select s_suppkey site_id,
                               {LON_SQL.format(k='s_suppkey * 31')} llon,
@@ -3464,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
                    (least((s+1)*256, ofs+n) - greatest(s*256, ofs))::int n_toks
             from e
         """,
+        "embed_project": _embed_project_sql(),
         "embed_quantize": """
             with s as (
               select vec_id, embedding,
@@ -3997,6 +4194,55 @@ def oracle_sql() -> dict[str, str]:
                                       + (l_lat-f_lat)*(l_lat-f_lat)), 9)
                            / path_len, 6) end straightness
             from agg
+        """,
+        # stay_points: naive per-entity window replay of the movement-split
+        # segmentation (break on gap OR rounded leg > max_dist), duration
+        # filter, sorted-fold centroids
+        "stay_points": f"""
+            with pts as (
+              select user_id entity, floor(epoch(ts))::bigint t,
+                     ({LON_SQL.format(k="user_id")})
+                       + ((event_id * 13 % 100) / 1000.0 - 0.05)
+                       + (case when event_id % 7 = 0
+                               then 2.0 else 0.0 end) lon,
+                     ({LAT_SQL.format(k="user_id")})
+                       + ((event_id * 17 % 100) / 1000.0 - 0.05) lat
+              from events
+            ),
+            lagd as (
+              select *, lag(t) over w pt, lag(lon) over w plon,
+                     lag(lat) over w plat
+              from pts window w as (partition by entity order by t, lon, lat)
+            ),
+            flagged as (
+              select *,
+                case when pt is null or t - pt > 28800
+                          or round(sqrt((lon-plon)*(lon-plon)
+                                        + (lat-plat)*(lat-plat)), 9) > 0.15
+                     then 1 else 0 end nt
+              from lagd
+            ),
+            runs as (
+              select *, sum(nt) over (partition by entity
+                                      order by t, lon, lat
+                                      rows unbounded preceding) seq
+              from flagged
+            ),
+            agg as (
+              select entity, seq::bigint stay_seq,
+                     count(*)::bigint n_points,
+                     min(t)::bigint t_start, max(t)::bigint t_end,
+                     round(list_reduce(list_prepend(0.0,
+                         list_sort(list(lon))), (a, b) -> a + b)
+                         / count(*), 9) c_lon,
+                     round(list_reduce(list_prepend(0.0,
+                         list_sort(list(lat))), (a, b) -> a + b)
+                         / count(*), 9) c_lat
+              from runs group by entity, seq
+            )
+            select entity, stay_seq, n_points, t_start, t_end,
+                   (t_end - t_start)::bigint duration_s, c_lon, c_lat
+            from agg where t_end - t_start >= 1200
         """,
         # od_matrix: same naive-window trip replay as trip_stats, then
         # per-trip first/last endpoints -> grid cells -> flow counts

@@ -42,9 +42,13 @@ BENCH_QUERIES = [
     "zonal_stats",
     "tile_distinct_hll",
     "cms_counts",
+    "price_quantiles",
+    "embed_project",
     "trip_stats",
     "od_matrix",
+    "stay_points",
     "seg_intersect",
+    "snap_points",
     "poly_overlap",
     "knn_cells",
     "radius_join",

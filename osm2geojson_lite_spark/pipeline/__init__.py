@@ -42,6 +42,7 @@ from .similarity import (
 )
 from .cluster import connected_components, near_dup_clusters
 from .sketch import (cms_merge, cms_query, cms_sketch,
+                     hist_merge, hist_quantiles, hist_sketch,
                      hll_estimate, hll_merge, hll_sketch)
 from .project import projection_signs, random_projection
 from .semdedup import semantic_dedup
@@ -65,6 +66,9 @@ __all__ = [
     "cms_query",
     "cms_sketch",
     "connected_components",
+    "hist_merge",
+    "hist_quantiles",
+    "hist_sketch",
     "hll_estimate",
     "hll_merge",
     "hll_sketch",

@@ -240,3 +240,87 @@ def cms_query(registers: DataFrame, probes: DataFrame,
              .alias("est"))
         .withColumnRenamed("_v", value_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram sketch — mergeable quantiles
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str, *,
+                lo: float, hi: float, bins: int = 256) -> DataFrame:
+    """Build per-group fixed-grid histograms: ``(group…, bin, cnt)``.
+
+    The quantile member of the sketch family (HLL = distinct, CMS =
+    frequency, this = distribution).  Spark's ``approx_percentile`` is a
+    per-engine KLL variant no oracle can replay and no other system can
+    merge; a fixed ``[lo, hi) / bins`` grid gives up adaptivity for the
+    two properties that matter in a multi-engine 100 TB pipeline:
+    registers are EXACT integers any engine rebuilds bit-for-bit, and
+    sketches merge by plain counter addition (identical to sketching the
+    union — the rollup property).  Quantile error is bounded by one bin
+    width, chosen by the caller who knows the value domain (doc lengths,
+    prices, latencies...).
+
+    One partial+final ``groupBy … count``: the shuffle carries at most
+    ``bins`` rows per group at any input size.  Values outside
+    ``[lo, hi)`` clamp into the edge bins (they count, with saturated
+    position); NULLs are ignored.
+    """
+    if bins < 2 or not hi > lo:
+        raise ValueError("need bins >= 2 and hi > lo")
+    v = F.col(value_col).cast("double")
+    idx = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins)).cast("long")
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), idx))
+    return (
+        df.where(v.isNotNull())
+        .select(*group_cols, b.cast("int").alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_merge(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge histograms by bin-wise ``sum`` under a coarser grouping —
+    exact, like ``cms_merge`` (counters are linear)."""
+    return registers.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(registers: DataFrame, group_cols: Sequence[str],
+                   qs: Sequence[float], *, lo: float, hi: float,
+                   bins: int = 256) -> DataFrame:
+    """Estimate per-group quantiles from a histogram register table.
+
+    Output ``(group…, q, n, est)``: for each requested quantile ``q``,
+    the rank target is ``r = max(1, ceil(q * n))`` and ``est``
+    interpolates linearly inside the bin containing rank ``r`` —
+    deterministic rational arithmetic both engines replay exactly,
+    rounded to 9 dp.  Runs entirely on the register table: a cumulative
+    window over AT MOST ``bins`` rows per group (never over raw data),
+    one tiny per-group total joined back, and a ``min(struct)`` pick.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    totals = registers.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("_n"))
+    w = Window.partitionBy(*group_cols).orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = registers.withColumn("_cum", F.sum("cnt").over(w)) \
+        .join(F.broadcast(totals), list(group_cols))
+    qlit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    cand = cum.select(*group_cols, "bin", "cnt", "_cum", "_n", qlit)
+    r = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_n")))
+    hit = cand.filter(F.col("_cum") >= r).groupBy(*group_cols, "q").agg(
+        F.min(F.struct("bin", "_cum", "cnt", "_n")).alias("_b"))
+    bin_, cum_, cnt_, n_ = (F.col("_b.bin"), F.col("_b._cum"),
+                            F.col("_b.cnt"), F.col("_b._n"))
+    rr = F.greatest(F.lit(1), F.ceil(F.col("q") * n_))
+    frac = (rr - (cum_ - cnt_)).cast("double") / cnt_.cast("double")
+    est = F.lit(lo) + (bin_.cast("double") + frac) * F.lit(width)
+    return hit.select(
+        *group_cols, "q",
+        n_.cast("bigint").alias("n"),
+        F.round(est, 9).alias("est"),
+    )

@@ -36,6 +36,7 @@ from .knn import knn_join
 from .overlap import polygon_overlap_join, rings_overlap
 from .pip import pip_join, polygon_cover_cells
 from .range_join import radius_join, radius_res
+from .snap import snap_join
 from .simplify import dp_keep_indices, simplify_lines
 from .zonal import zonal_stats
 from .raster import raster_tile_assignment, tile_manifest
@@ -63,6 +64,7 @@ __all__ = [
     "pip_join",
     "polygon_overlap_join",
     "segment_intersection_join",
+    "snap_join",
     "rings_overlap",
     "polygon_cover_cells",
     "radius_join",

@@ -8,6 +8,7 @@ scale-safe plans (bucketed two-phase scans, no unbounded per-key windows).
 """
 
 from .asof import asof_join, interval_join
-from .trajectory import od_matrix, segment_trips, trip_stats
+from .trajectory import od_matrix, segment_trips, stay_points, trip_stats
 
-__all__ = ["asof_join", "interval_join", "od_matrix", "segment_trips", "trip_stats"]
+__all__ = ["asof_join", "interval_join", "od_matrix", "segment_trips",
+           "stay_points", "trip_stats"]

@@ -51,7 +51,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["segment_trips", "trip_stats", "od_matrix"]
+__all__ = ["segment_trips", "trip_stats", "od_matrix", "stay_points"]
 
 
 def _dist(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
@@ -63,12 +63,18 @@ def _dist(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
 def segment_trips(pts: DataFrame, *, entity_col: str = "entity",
                   ts_col: str = "t", lon_col: str = "lon",
                   lat_col: str = "lat", gap_s: int = 3600,
-                  bucket_s: int = 86400) -> DataFrame:
+                  bucket_s: int = 86400,
+                  max_leg: float | None = None) -> DataFrame:
     """Label every point with its per-entity trip id.
 
     Output: ``(entity, t, lon, lat, trip_seq, leg)`` — ``trip_seq`` is
     1-based in time order per entity; ``leg`` is the distance from the
     point's in-trip predecessor (NULL on each trip's first point).
+
+    A new trip starts when the time gap exceeds ``gap_s`` OR (when
+    ``max_leg`` is set) the distance from the predecessor exceeds
+    ``max_leg`` — the movement-split mode ``stay_points`` builds on
+    (``max_leg=None`` preserves pure gap segmentation exactly).
 
     Order within an entity is ``(t, lon, lat)`` — the coordinate tiebreak
     makes simultaneous pings deterministic at any partitioning.
@@ -86,13 +92,15 @@ def segment_trips(pts: DataFrame, *, entity_col: str = "entity",
     # phase 1: bucket-local window (bounded by bucket_s worth of points)
     wl = Window.partitionBy("entity", "b").orderBy("t", "lon", "lat")
     prev_t = F.lag("t").over(wl)
+    raw_leg = _dist(F.lag("lon").over(wl), F.lag("lat").over(wl),
+                    F.col("lon"), F.col("lat"))
+    brk = prev_t.isNull() | (F.col("t") - prev_t > gap_s)
+    if max_leg is not None:
+        brk = brk | (raw_leg > F.lit(float(max_leg)))
     local = base.select(
         "*",
-        F.when(prev_t.isNull() | (F.col("t") - prev_t > gap_s), 1)
-         .otherwise(0).alias("local_new"),
-        F.when(prev_t.isNotNull() & (F.col("t") - prev_t <= gap_s),
-               _dist(F.lag("lon").over(wl), F.lag("lat").over(wl),
-                     F.col("lon"), F.col("lat"))).alias("local_leg"),
+        F.when(brk, 1).otherwise(0).alias("local_new"),
+        F.when(~brk & prev_t.isNotNull(), raw_leg).alias("local_leg"),
     ).withColumn(
         "local_idx",
         F.sum("local_new").over(
@@ -109,16 +117,17 @@ def segment_trips(pts: DataFrame, *, entity_col: str = "entity",
     )
     we = Window.partitionBy("entity").orderBy("b")
     prev_last = F.lag("last_pt").over(we)
+    cross_gap_ok = (prev_last.isNotNull()
+                    & (F.col("first_pt.t") - prev_last["t"] <= gap_s))
+    cross_leg = _dist(prev_last["lon"], prev_last["lat"],
+                      F.col("first_pt.lon"), F.col("first_pt.lat"))
+    joins = cross_gap_ok
+    if max_leg is not None:
+        joins = joins & (cross_leg <= F.lit(float(max_leg)))
     edges = edges.select(
         "entity", "b", "n_local_trips",
-        (prev_last.isNotNull()
-         & (F.col("first_pt.t") - prev_last["t"] <= gap_s))
-        .alias("joins_prev"),
-        F.when(prev_last.isNotNull()
-               & (F.col("first_pt.t") - prev_last["t"] <= gap_s),
-               _dist(prev_last["lon"], prev_last["lat"],
-                     F.col("first_pt.lon"), F.col("first_pt.lat")))
-         .alias("crossing_leg"),
+        joins.alias("joins_prev"),
+        F.when(joins, cross_leg).alias("crossing_leg"),
     ).withColumn(
         "trips_before",
         F.coalesce(
@@ -173,6 +182,48 @@ def trip_stats(trips: DataFrame) -> DataFrame:
         path.alias("path_len"),
         disp.alias("displacement"),
         F.when(path > 0, F.round(disp / path, 6)).alias("straightness"),
+    )
+
+
+def stay_points(pts: DataFrame, *, max_dist: float, min_duration_s: int,
+                gap_s: int = 3600, bucket_s: int = 86400,
+                entity_col: str = "entity", ts_col: str = "t",
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Dwell detection: maximal runs of consecutive pings that stay put.
+
+    A run continues while the step to the next ping is ``<= max_dist``
+    AND the time gap is ``<= gap_s``; runs lasting ``>= min_duration_s``
+    are stays (Li et al. 2008 stay-point semantics with the
+    consecutive-step criterion, which distributes).  Output per stay:
+    ``(entity, stay_seq, n_points, t_start, t_end, duration_s, c_lon,
+    c_lat)`` with the centroid as index-independent sorted-fold means
+    rounded to 9 dp.
+
+    Rides the same bounded bucket phases as ``segment_trips`` (movement
+    split = the ``max_leg`` mode), so a parked fleet vehicle emitting
+    pings for a year never funnels through one window task.
+    """
+    if max_dist <= 0 or min_duration_s < 0:
+        raise ValueError("max_dist must be positive, min_duration_s >= 0")
+    runs = segment_trips(
+        pts, entity_col=entity_col, ts_col=ts_col, lon_col=lon_col,
+        lat_col=lat_col, gap_s=gap_s, bucket_s=bucket_s, max_leg=max_dist)
+    n = F.count(F.lit(1)).cast("bigint")
+    agg = runs.groupBy("entity", F.col("trip_seq").alias("stay_seq")).agg(
+        n.alias("n_points"),
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+        F.aggregate(F.array_sort(F.collect_list("lon")), F.lit(0.0),
+                    lambda a, x: a + x).alias("_slon"),
+        F.aggregate(F.array_sort(F.collect_list("lat")), F.lit(0.0),
+                    lambda a, x: a + x).alias("_slat"),
+    )
+    dur = (F.col("t_end") - F.col("t_start")).cast("bigint")
+    return agg.filter(dur >= min_duration_s).select(
+        "entity", "stay_seq", "n_points", "t_start", "t_end",
+        dur.alias("duration_s"),
+        F.round(F.col("_slon") / F.col("n_points"), 9).alias("c_lon"),
+        F.round(F.col("_slat") / F.col("n_points"), 9).alias("c_lat"),
     )
 
 

@@ -5,6 +5,7 @@ partitioning invariance."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -183,3 +184,96 @@ def test_cms_weighted_and_partitioning_invariance(spark):
     assert _py_cms_query(want, "a", 5, 2) >= 12
     with pytest.raises(ValueError):
         cms_sketch(df, ["g"], "v", width_bits=2)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+from osm2geojson_lite_spark.pipeline.sketch import (  # noqa: E402
+    hist_merge,
+    hist_quantiles,
+    hist_sketch,
+)
+
+
+def _py_hist(vals, lo, hi, bins):
+    regs = {}
+    for v in vals:
+        b = min(bins - 1, max(0, math.floor((v - lo) / (hi - lo) * bins)))
+        regs[b] = regs.get(b, 0) + 1
+    return regs
+
+
+def _py_quantile(vals, q, lo, hi, bins):
+    regs = _py_hist(vals, lo, hi, bins)
+    n = len(vals)
+    r = max(1, math.ceil(q * n))
+    cum = 0
+    for b in sorted(regs):
+        cum += regs[b]
+        if cum >= r:
+            frac = (r - (cum - regs[b])) / regs[b]
+            return round(lo + (b + frac) * ((hi - lo) / bins), 9)
+    raise AssertionError
+
+
+def test_hist_registers_and_quantiles_match_python(spark):
+    import random
+    rng = random.Random(5)
+    rows = [(i % 3, rng.uniform(-50, 1050)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    regs = hist_sketch(df, ["g"], "v", lo=0.0, hi=1000.0, bins=64)
+    got = {(r.g, r.bin): r.cnt for r in regs.collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        want = _py_hist(vals, 0.0, 1000.0, 64)
+        assert {b: c for (gg, b), c in got.items() if gg == g} == want
+    est = {(r.g, r.q): (r.n, r.est) for r in
+           hist_quantiles(regs, ["g"], [0.1, 0.5, 0.99, 1.0],
+                          lo=0.0, hi=1000.0, bins=64).collect()}
+    for g, vals in by_g.items():
+        for q in (0.1, 0.5, 0.99, 1.0):
+            n, e = est[(g, q)]
+            assert n == len(vals)
+            assert e == _py_quantile(vals, q, 0.0, 1000.0, 64)
+
+
+def test_hist_quantile_accuracy_within_bin_width(spark):
+    import random
+    rng = random.Random(6)
+    vals = [rng.uniform(0, 1000) for _ in range(8000)]
+    df = spark.createDataFrame([(0, v) for v in vals], "g int, v double")
+    regs = hist_sketch(df, ["g"], "v", lo=0.0, hi=1000.0, bins=256)
+    est = {r.q: r.est for r in
+           hist_quantiles(regs, ["g"], [0.5, 0.9],
+                          lo=0.0, hi=1000.0, bins=256).collect()}
+    srt = sorted(vals)
+    for q in (0.5, 0.9):
+        true = srt[max(1, math.ceil(q * len(vals))) - 1]
+        assert abs(est[q] - true) <= 1000.0 / 256 + 1e-9  # one bin width
+
+
+def test_hist_merge_equals_direct_and_invariance(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i % 2, i % 5, rng.uniform(0, 100)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g int, sub int, v double")
+    fine = hist_sketch(df, ["g", "sub"], "v", lo=0.0, hi=100.0, bins=32)
+    merged = hist_merge(fine, ["g"])
+    direct = hist_sketch(df, ["g"], "v", lo=0.0, hi=100.0, bins=32)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    a = sorted(map(tuple, hist_quantiles(
+        hist_sketch(df.repartition(1), ["g"], "v", lo=0.0, hi=100.0,
+                    bins=32), ["g"], [0.5], lo=0.0, hi=100.0,
+        bins=32).collect()))
+    b = sorted(map(tuple, hist_quantiles(
+        hist_sketch(df.repartition(17), ["g"], "v", lo=0.0, hi=100.0,
+                    bins=32), ["g"], [0.5], lo=0.0, hi=100.0,
+        bins=32).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        hist_sketch(df, ["g"], "v", lo=5.0, hi=5.0)

@@ -9,7 +9,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from osm2geojson_lite_spark.temporal import od_matrix, segment_trips, trip_stats
+from osm2geojson_lite_spark.temporal import (od_matrix, segment_trips,
+                                              stay_points, trip_stats)
 
 
 def _py_trips(points, gap_s):
@@ -149,8 +150,76 @@ def test_od_matrix_matches_python_oracle(spark):
         assert got == flows
 
 
+def _py_stays(points, max_dist, min_dur, gap_s):
+    out = {}
+    by_e = {}
+    for e, t, lon, lat in points:
+        by_e.setdefault(e, []).append((t, lon, lat))
+    for e, pts in by_e.items():
+        pts.sort()
+        runs, cur = [], [pts[0]]
+        for prev, nxt in zip(pts, pts[1:]):
+            leg = round(math.sqrt((nxt[1] - prev[1]) ** 2
+                                  + (nxt[2] - prev[2]) ** 2), 9)
+            if nxt[0] - prev[0] > gap_s or leg > max_dist:
+                runs.append(cur)
+                cur = [nxt]
+            else:
+                cur.append(nxt)
+        runs.append(cur)
+        for seq, run in enumerate(runs, start=1):
+            dur = run[-1][0] - run[0][0]
+            if dur >= min_dur:
+                n = len(run)
+                out[(e, seq)] = (
+                    n, run[0][0], run[-1][0], dur,
+                    round(math.fsum(sorted(p[1] for p in run)) / n, 9),
+                    round(math.fsum(sorted(p[2] for p in run)) / n, 9))
+    return out
+
+
+@pytest.mark.parametrize("bucket_s", [900, 86_400])
+def test_stay_points_match_python_oracle(spark, bucket_s):
+    import random
+    rng = random.Random(9)
+    pts, t = [], 0
+    for e in range(3):
+        t = 0
+        loc = (rng.uniform(-5, 5), rng.uniform(-5, 5))
+        for _ in range(200):
+            if rng.random() < 0.1:      # jump to a new location
+                loc = (rng.uniform(-5, 5), rng.uniform(-5, 5))
+            t += rng.randrange(30, 400)
+            pts.append((e, t, round(loc[0] + rng.uniform(-0.005, 0.005), 5),
+                        round(loc[1] + rng.uniform(-0.005, 0.005), 5)))
+    pts = sorted(set(pts))
+    want = _py_stays(pts, max_dist=0.05, min_dur=600, gap_s=1800)
+    df = spark.createDataFrame(pts, "entity int, t long, lon double, lat double")
+    got = {(r.entity, r.stay_seq):
+           (r.n_points, r.t_start, r.t_end, r.duration_s, r.c_lon, r.c_lat)
+           for r in stay_points(df, max_dist=0.05, min_duration_s=600,
+                                gap_s=1800, bucket_s=bucket_s).collect()}
+    assert len(want) >= 5
+    assert got == want
+
+
+def test_stay_points_handcrafted(spark):
+    pts = ([(1, 60 * i, 10.0 + 0.001 * (i % 2), 20.0) for i in range(30)]
+           + [(1, 1800 + 300 * i, 10.0 + 0.5 * i, 20.0) for i in range(5)]
+           + [(1, 4000 + 60 * i, 15.0, 25.0) for i in range(20)])
+    df = spark.createDataFrame(pts, "entity int, t long, lon double, lat double")
+    got = stay_points(df, max_dist=0.01, min_duration_s=500,
+                      gap_s=3600, bucket_s=600).collect()
+    assert len(got) == 2                       # parked, moving, parked
+    stays = sorted((r.t_start, r.t_end, r.c_lat) for r in got)
+    assert stays[0][0] == 0 and stays[0][2] == 20.0
+    assert stays[1][2] == 25.0
+
+
 def test_validation(spark):
     df = spark.createDataFrame([(1, 0, 0.0, 0.0)],
                                "entity int, t long, lon double, lat double")
     with pytest.raises(ValueError):
         segment_trips(df, gap_s=0)
+    with pytest.raises(ValueError):
+        stay_points(df, max_dist=0.0, min_duration_s=1)

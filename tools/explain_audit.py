@@ -117,16 +117,30 @@ CHECKS = {
     # counter build is one partial+final sum; the panel probe explodes to
     # depth coordinates and joins the register table — no count(distinct)
     "cms_counts": ["HashAggregate", "Generate"],
+    # register build is one partial+final count; the quantile pass windows
+    # over the <=512-row register table, never over raw orders
+    "price_quantiles": ["HashAggregate", "Window", "!Python"],
+    # one literal sign matrix + a single transform lambda: a pure
+    # projection over the parquet scan — no Exchange, no UDF
+    "embed_project": ["Project", "!Exchange", "!Python"],
     # bucketed two-phase segmentation: bucket-local windows + the tiny
     # per-bucket edge table broadcast back; never a per-entity point window
     "trip_stats": ["Window", "BroadcastHashJoin", "HashAggregate"],
     # endpoints shrink map-side before the per-trip shuffle; flows combine
     # map-side before the per-cell-pair shuffle
     "od_matrix": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    # movement-split segmentation rides the same bounded bucket phases;
+    # centroids are one partial+final agg over the labeled points
+    "stay_points": ["Window", "BroadcastHashJoin", "HashAggregate"],
     # cover explode (Generate) + broadcast cell equi-join; the orientation
     # refine and reference-point dedup are filters in codegen — no
     # CartesianProduct, no dropDuplicates exchange
-    "seg_intersect": ["Generate", "BroadcastHashJoin"],
+    "seg_intersect": ["Generate", "BroadcastHashJoin",
+                      "!CartesianProduct", "!Python"],
+    # disk x cover candidate join + min(struct) argmin: distance math in
+    # codegen, partial-agg combine, never a per-point window
+    "snap_points": ["Generate", "BroadcastHashJoin", "HashAggregate",
+                    "!CartesianProduct", "!Window", "!Python"],
     # dim filter broadcast onto the fact side; dates pushed to the scans;
     # top-k is TakeOrdered, never a global sort
     "tpch_q3": ["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
@@ -209,6 +223,12 @@ def main() -> None:
         plan = plan_of(qs[name](spark, SF_DIR))
         findings = []
         for m in markers:
+            if m.startswith("!"):       # negative marker: must be ABSENT
+                ok = m[1:] not in plan
+                findings.append(f"{'OK' if ok else 'PROBLEM'}: no {m[1:]}")
+                if not ok:
+                    problems.append(f"{name}: {m[1:]} present")
+                continue
             present = m in plan
             findings.append(f"{'OK' if present else 'MISSING'}: {m}")
             if not present:
