@@ -659,6 +659,20 @@ def q_tile_distinct_hll(spark, sf_dir):
     return hll_estimate(merged, ["parent_cell"], p=7)
 
 
+def q_geohash_keys(spark, sf_dir):
+    """Geohash interchange keys (precision 8) for customer points — the
+    base-32 twin of zorder_key: pure bit algebra + one literal alphabet,
+    map-side at scan speed; the oracle rebuilds the strings bit-for-bit."""
+    from osm2geojson_lite_spark.spatial import geohash_col
+
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("point_id"),
+        geohash_col(_lon(F.col("c_custkey")), _lat(F.col("c_custkey")),
+                    precision=8).alias("gh"),
+    )
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch point queries: per-returnflag supplier frequencies
     from a 4x256 counter table over lineitem, probed for a fixed 40-key
@@ -1996,7 +2010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_assign": q_raster_assign,
         "line_simplify": q_line_simplify,
         "geom_stats": q_geom_stats,
-        "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "doc_chunks": q_doc_chunks,
         "geojson_read": q_geojson_read,
@@ -2014,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "zorder_key": q_zorder_key,
+        "geohash_keys": q_geohash_keys,
         "ann_recall": q_ann_recall,
         "unigram_logprob": q_unigram_logprob,
         "source_quota": q_source_quota,
@@ -2031,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_tokens": q_mixture_tokens,
         "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
+        "minhash_neardup": q_minhash_neardup,
         "bm25_search": q_bm25_search,
         "minhash_signatures": q_minhash_signatures,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -2105,6 +2120,35 @@ from nonempty a join nonempty b on a.doc_id < b.doc_id
 where len(list_intersect(a.sh, b.sh))::double
       / len(list_distinct(list_concat(a.sh, b.sh)))::double >= {threshold}
 """
+
+
+def _geohash_sql(precision: int = 8) -> str:
+    """Replay of q_geohash_keys: same clamped quantization, MSB-first
+    lon-led bit interleave, and base-32 character slicing."""
+    from osm2geojson_lite_spark.spatial.geohash import GEOHASH_ALPHABET
+
+    total = 5 * precision
+    xb, yb = (total + 1) // 2, total // 2
+    lon = LON_SQL.format(k="c_custkey")
+    lat = LAT_SQL.format(k="c_custkey")
+    x = (f"greatest(0, least({(1 << xb) - 1}, "
+         f"floor((lon - -180.0) / 360.0 * {1 << xb})::bigint))")
+    y = (f"greatest(0, least({(1 << yb) - 1}, "
+         f"floor((lat - -90.0) / 180.0 * {1 << yb})::bigint))")
+    terms = [f"(((x >> {xb - 1 - i}) & 1) << {total - 1 - 2 * i})"
+             for i in range(xb)]
+    terms += [f"(((y >> {yb - 1 - i}) & 1) << {total - 2 - 2 * i})"
+              for i in range(yb)]
+    chars = [f"substr('{GEOHASH_ALPHABET}', "
+             f"(((g >> {total - 5 * (c + 1)}) & 31) + 1)::int, 1)"
+             for c in range(precision)]
+    return f"""
+        with pts as (select c_custkey point_id, {lon} lon, {lat} lat
+                     from customer),
+        q as (select point_id, {x} x, {y} y from pts),
+        g as (select point_id, {" | ".join(terms)} g from q)
+        select point_id, {" || ".join(chars)} gh from g
+    """
 
 
 def _embed_project_sql(k: int = 16, d: int = 64) -> str:
@@ -2694,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Morton key: quantize both axes to 2^16 with the engine's clamp,
         # interleave with bigint bit operators (x even bits, y odd)
+        "geohash_keys": _geohash_sql(),
         "zorder_key": f"""
             with axes as (
               select c_custkey,

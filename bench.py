@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "cms_counts",
     "price_quantiles",
     "embed_project",
+    "geohash_keys",
     "trip_stats",
     "od_matrix",
     "stay_points",

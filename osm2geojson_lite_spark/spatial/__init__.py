@@ -24,6 +24,7 @@ from .cells import (
     np_cell,
 )
 from .density import cell_density, kring_scatter_col, kring_smooth
+from .geohash import GEOHASH_ALPHABET, geohash_col, py_geohash
 from .geomstats import (
     ring_area_col,
     ring_bbox_cols,
@@ -65,6 +66,8 @@ __all__ = [
     "polygon_overlap_join",
     "segment_intersection_join",
     "snap_join",
+    "geohash_col",
+    "py_geohash",
     "rings_overlap",
     "polygon_cover_cells",
     "radius_join",

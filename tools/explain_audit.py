@@ -123,6 +123,8 @@ CHECKS = {
     # one literal sign matrix + a single transform lambda: a pure
     # projection over the parquet scan — no Exchange, no UDF
     "embed_project": ["Project", "!Exchange", "!Python"],
+    # pure bit algebra + literal alphabet over the scan
+    "geohash_keys": ["Project", "!Exchange", "!Python"],
     # bucketed two-phase segmentation: bucket-local windows + the tiny
     # per-bucket edge table broadcast back; never a per-entity point window
     "trip_stats": ["Window", "BroadcastHashJoin", "HashAggregate"],
