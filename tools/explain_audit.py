@@ -140,8 +140,9 @@ CHECKS = {
     "seg_intersect": ["Generate", "BroadcastHashJoin",
                       "!CartesianProduct", "!Python"],
     # disk x cover candidate join + min(struct) argmin: distance math in
-    # codegen, partial-agg combine, never a per-point window
-    "snap_points": ["Generate", "BroadcastHashJoin", "HashAggregate",
+    # codegen, partial-agg combine (struct min => SortAggregate), never a
+    # per-point window
+    "snap_points": ["Generate", "BroadcastHashJoin", "SortAggregate",
                     "!CartesianProduct", "!Window", "!Python"],
     # dim filter broadcast onto the fact side; dates pushed to the scans;
     # top-k is TakeOrdered, never a global sort
