@@ -1943,6 +1943,88 @@ def q_od_matrix(spark, sf_dir):
         segment_trips(pts, gap_s=28800, bucket_s=86400), res=7)
 
 
+def q_dbscan_clusters(spark, sf_dir):
+    """Grid DBSCAN over planted point chains: 20 clusters laid out as
+    chains (spacing 0.005 < eps, broken into segments where every 13th
+    customer is diverted to an isolated noise band), eps=0.008, min_pts=3.
+    Exercises the full operator: cell-bucketed pair join, core degree
+    count, large-star/small-star components, min-label border rule.  The
+    oracle replays pairs as a brute-force cross join and components as a
+    recursive-CTE min-label closure (chain segments stay ~12 nodes at any
+    sf, so the closure is bounded)."""
+    from osm2geojson_lite_spark.spatial import dbscan
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    is_noise = (k % 13) == 0
+    c = k % 20
+    lon = F.when(
+        is_noise, F.lit(-170.0) + F.floor(k / 13) * F.lit(0.05)
+    ).otherwise(
+        (F.lit(-100.0) + c * F.lit(8.0)) + F.floor(k / 20) * F.lit(0.005)
+    )
+    lat = F.when(is_noise, F.lit(-80.0)).otherwise(
+        (c * 3 % 40) - F.lit(20.0)
+    )
+    pts = cust.select(k.alias("point_id"), lon.alias("lon"), lat.alias("lat"))
+    out = dbscan(pts, 0.008, 3)
+    return out.select(
+        F.col("point_id").cast("bigint").alias("point_id"),
+        "role",
+        F.coalesce(F.col("label"), F.lit(-1)).cast("bigint").alias("label"),
+    )
+
+
+def q_gi_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over customer-point density at res 8
+    (ring 1, binary weights).  All moments and neighborhood sums are exact
+    integers; the z-score is one fixed IEEE expression the oracle replays
+    verbatim."""
+    from osm2geojson_lite_spark.spatial import cell_density, getis_ord_gi
+
+    cust = _read(spark, sf_dir, "customer")
+    pts = cust.select(
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    )
+    out = getis_ord_gi(cell_density(pts, 8), 8, ring=1)
+    return out.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("x").cast("bigint").alias("x"),
+        F.col("s_i").cast("bigint").alias("s_i"),
+        F.col("w_i").cast("bigint").alias("w_i"),
+        F.col("gi").alias("gi"),
+    )
+
+
+def q_moran_i(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation of customer-point density
+    at res 8 (ring 1, binary symmetric weights, occupied-cell frame).
+    Every aggregate is an exact integer; I / E[I] / z are a fixed short
+    IEEE sequence the oracle replays verbatim, so the single output row
+    hashes identically cross-engine."""
+    from osm2geojson_lite_spark.spatial import cell_density, morans_i
+
+    cust = _read(spark, sf_dir, "customer")
+    pts = cust.select(
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"),
+    )
+    out = morans_i(cell_density(pts, 8), 8, ring=1)
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("w").cast("bigint").alias("w"),
+        F.col("a").cast("bigint").alias("a"),
+        F.col("t").cast("bigint").alias("t"),
+        F.col("d").cast("bigint").alias("d"),
+        F.col("sx").cast("bigint").alias("sx"),
+        F.col("sxx").cast("bigint").alias("sxx"),
+        F.col("s1").cast("bigint").alias("s1"),
+        F.col("s2").cast("bigint").alias("s2"),
+        "moran_i", "e_i", "z",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: round 4's driver gate recorded rows for exactly the
     # FIRST 50 entries, leaving the then-last four (embed_clusters, tpch_q1,
@@ -1984,8 +2066,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational showcases next to the gated tpch_q1, repetition_stats by
     # its python-oracle + planted-repetition pytest pins and green r4 row
     # on unchanged code, pii_scrub by test_scrub.py's python-re parity +
-    # no-residual-match pins and green r4 row on unchanged code) so
-    # nothing is gate-blind if the cutoff recurs.
+    # no-residual-match pins and green r4 row on unchanged code,
+    # ann_topk by ann_recall's oracle replaying the identical brute-force
+    # scoring as its ground-truth leg plus ann_topk's own green r4 row on
+    # unchanged code — its first-50 seat went to the new dbscan_clusters,
+    # mixture_sample by its green r4 row on an unchanged function plus
+    # test_sample.py's naive-rank parity pin — its seat went to the new
+    # gi_hotspots, tile_rollup by its green r4 row on an unchanged
+    # operator with the cell encoding itself still gated in-window by
+    # tile_cells — its seat went to the new moran_i) so nothing is
+    # gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -1996,7 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_polytag_classify": q_osm_polytag_classify,
         "osm_convert_corpus": q_osm_convert_corpus,
         "tile_cells": q_tile_cells,
-        "tile_rollup": q_tile_rollup,
+        "moran_i": q_moran_i,
         "tile_smooth": q_tile_smooth,
         "tile_distinct_hll": q_tile_distinct_hll,
         "cms_counts": q_cms_counts,
@@ -2023,7 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_stats": q_trip_stats,
         "od_matrix": q_od_matrix,
         "stay_points": q_stay_points,
-        "ann_topk": q_ann_topk,
+        "dbscan_clusters": q_dbscan_clusters,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "zorder_key": q_zorder_key,
@@ -2031,7 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "unigram_logprob": q_unigram_logprob,
         "source_quota": q_source_quota,
-        "mixture_sample": q_mixture_sample,
+        "gi_hotspots": q_gi_hotspots,
         "passage_dedup": q_passage_dedup,
         "embed_quantize": q_embed_quantize,
         "embed_project": q_embed_project,
@@ -2070,6 +2160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "mixture_sample": q_mixture_sample,
+        "tile_rollup": q_tile_rollup,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -3413,6 +3506,157 @@ def oracle_sql() -> dict[str, str]:
                    max(v)::bigint max_value,
                    round(sum(v) / count(*), 9) mean_value
             from hits group by poly_id
+        """,
+        # dbscan_clusters: pairs replayed as a brute-force cross join
+        # (the engine's cell-bucketed join is exact by the 3x3 covering
+        # argument, so the pair sets must agree); components replayed as a
+        # recursive-CTE min-label closure over the core-core subgraph —
+        # bounded because the planted chain segments stay ~12 nodes.
+        "dbscan_clusters": """
+            with recursive pts as (
+              select c_custkey id,
+                     case when c_custkey % 13 = 0
+                          then -170.0 + floor(c_custkey / 13) * 0.05
+                          else (-100.0 + (c_custkey % 20) * 8.0)
+                               + floor(c_custkey / 20) * 0.005 end lon,
+                     case when c_custkey % 13 = 0 then -80.0
+                          else ((c_custkey % 20) * 3 % 40) - 20.0 end lat
+              from customer
+            ),
+            pairs as (
+              select a.id u, b.id v
+              from pts a, pts b
+              where (a.lon - b.lon) * (a.lon - b.lon)
+                  + (a.lat - b.lat) * (a.lat - b.lat) <= 0.008 * 0.008
+            ),
+            core as (
+              select u id from pairs group by u having count(*) >= 3
+            ),
+            ce as (
+              select p.u, p.v from pairs p
+              join core c1 on p.u = c1.id
+              join core c2 on p.v = c2.id
+              where p.u <> p.v
+            ),
+            reach(node, lbl) as (
+              select id, id from core
+              union
+              select ce.v, r.lbl from reach r join ce on ce.u = r.node
+            ),
+            comp as (select node, min(lbl) as "label" from reach group by node),
+            border as (
+              select p.u id, min(c."label") as "label"
+              from pairs p
+              join core co on p.v = co.id
+              join comp c on c.node = p.v
+              where p.u not in (select id from core)
+              group by p.u
+            )
+            select node::bigint point_id, 'core' as role, "label"::bigint as "label"
+            from comp
+            union all
+            select id::bigint, 'border', "label"::bigint from border
+            union all
+            select id::bigint, 'noise', (-1)::bigint from pts
+            where id not in (select node from comp)
+              and id not in (select id from border)
+        """,
+        # gi_hotspots: the tile_smooth scatter with binary weights, joined
+        # back to occupied centers, plus the global moments — every piece
+        # is exact integer arithmetic and the z-score is the identical
+        # IEEE expression sequence (one multiply, one divide, one sqrt,
+        # one divide).
+        "gi_hotspots": f"""
+            with dens as (
+              select {_cell_sql(lon_c, lat_c, 8)} cell, count(*) v
+              from customer group by 1
+            ),
+            xy as (
+              select ((cell % {1 << 56}) // {1 << 28}) cx, (cell % {1 << 28}) cy, v
+              from dens
+            ),
+            scat as (
+              select (8::bigint * {1 << 56}
+                      + (((cx + dx.d) % 256 + 256) % 256) * {1 << 28}
+                      + (cy + dy.d)) cell,
+                     v
+              from xy,
+                   (values (-1), (0), (1)) dx(d),
+                   (values (-1), (0), (1)) dy(d)
+              where cy + dy.d >= 0 and cy + dy.d < 256
+            ),
+            nbr as (select cell, sum(v) s_i, count(*) w_i from scat group by 1),
+            stats as (select count(*) n, sum(v) sx, sum(v * v) sxx from dens),
+            j as (
+              select d.cell, d.v, nb.s_i, nb.w_i, s.n, s.sx, s.sxx
+              from dens d join nbr nb on nb.cell = d.cell cross join stats s
+            )
+            select cell::bigint cell, v::bigint x, s_i::bigint s_i,
+                   w_i::bigint w_i,
+                   case when n > 1
+                         and sqrt((n * sxx - sx * sx)::double
+                                  * (n * w_i - w_i * w_i)::double
+                                  / (n - 1)::double) > 0
+                        then (n * s_i - sx * w_i)::double
+                             / sqrt((n * sxx - sx * sx)::double
+                                    * (n * w_i - w_i * w_i)::double
+                                    / (n - 1)::double)
+                        end gi
+            from j
+        """,
+        # moran_i: the same scatter + occupied-center join as gi_hotspots,
+        # then ONE global aggregation of exact integers and the identical
+        # integer-scaled I / E[I] / z IEEE expression sequence — the whole
+        # statistic collapses to one hash-comparable row.
+        "moran_i": f"""
+            with dens as (
+              select {_cell_sql(lon_c, lat_c, 8)} cell, count(*) v
+              from customer group by 1
+            ),
+            xy as (
+              select ((cell % {1 << 56}) // {1 << 28}) cx, (cell % {1 << 28}) cy, v
+              from dens
+            ),
+            scat as (
+              select (8::bigint * {1 << 56}
+                      + (((cx + dx.d) % 256 + 256) % 256) * {1 << 28}
+                      + (cy + dy.d)) cell,
+                     v
+              from xy,
+                   (values (-1), (0), (1)) dx(d),
+                   (values (-1), (0), (1)) dy(d)
+              where cy + dy.d >= 0 and cy + dy.d < 256
+            ),
+            nbr as (select cell, sum(v) s_i, count(*) w_i from scat group by 1),
+            j as (
+              select d.v, nb.s_i - d.v t_i, nb.w_i - 1 d_i
+              from dens d join nbr nb on nb.cell = d.cell
+            ),
+            g as (
+              select count(*) n, sum(v) sx, sum(v * v) sxx,
+                     sum(v * t_i) a, sum(v * d_i) d, sum(t_i) t,
+                     sum(d_i) w, sum(d_i * d_i) sd2
+              from j
+            ),
+            f as (
+              select n, w, a, t, d, sx, sxx, 2 * w s1, 4 * sd2 s2,
+                     case when w > 0 and n * sxx - sx * sx > 0
+                          then (n * n * a - n * sx * (d + t) + sx * sx * w)::double
+                               / (w * (n * sxx - sx * sx))::double end moran_i,
+                     case when n > 1 then -1.0 / (n - 1)::double end e_i,
+                     case when w > 0 and n > 2
+                          then (n * n * (2 * w) - n * (4 * sd2) + 3 * w * w)::double
+                               / (w * w * (n * n - 1))::double
+                               - (case when n > 1 then -1.0 / (n - 1)::double end)
+                                 * (case when n > 1 then -1.0 / (n - 1)::double end)
+                          end var_n
+              from g
+            )
+            select n::bigint n, w::bigint w, a::bigint a, t::bigint t,
+                   d::bigint d, sx::bigint sx, sxx::bigint sxx,
+                   s1::bigint s1, s2::bigint s2, moran_i, e_i,
+                   case when var_n > 0 then (moran_i - e_i) / sqrt(var_n) end z
+            from f
         """,
         # seg_intersect: naive all-pairs replay of the cell-cover +
         # reference-point-dedup join — identical orientation sign test and

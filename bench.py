@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "snap_points",
     "poly_overlap",
     "knn_cells",
+    "dbscan_clusters",
+    "gi_hotspots",
+    "moran_i",
     "radius_join",
     "raster_assign",
     "dedup_exact",

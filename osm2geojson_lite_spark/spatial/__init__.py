@@ -23,8 +23,10 @@ from .cells import (
     neighbor_cells_col,
     np_cell,
 )
+from .dbscan import dbscan
 from .density import cell_density, kring_scatter_col, kring_smooth
 from .geohash import GEOHASH_ALPHABET, geohash_col, py_geohash
+from .hotspot import getis_ord_gi, morans_i
 from .geomstats import (
     ring_area_col,
     ring_bbox_cols,
@@ -54,6 +56,9 @@ __all__ = [
     "neighbor_cells_col",
     "np_cell",
     "cell_density",
+    "dbscan",
+    "getis_ord_gi",
+    "morans_i",
     "kring_scatter_col",
     "kring_smooth",
     "ring_area_col",
