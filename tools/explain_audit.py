@@ -152,6 +152,17 @@ CHECKS = {
     # map-side literal-centroid assignment; within-cluster pair join is an
     # equi-join on cid (never a cross join); drop set joins back
     "semantic_dedup": ["HashAggregate"],
+    # eps-pairs = radius_join's broadcast cell equi-join (never a cross
+    # join); core degree + border min are partial+final aggs; CC rounds are
+    # pre-materialized so none of it is Python
+    "dbscan_clusters": ["BroadcastHashJoin", "HashAggregate",
+                        "!CartesianProduct", "!Python"],
+    # k-ring scatter explode + partial+final agg; global moments are ONE
+    # broadcast row crossJoined back (BroadcastNestedLoopJoin on 1 row)
+    "gi_hotspots": ["Generate", "HashAggregate",
+                    "BroadcastNestedLoopJoin", "!Python"],
+    # same scatter plan collapsed to one global partial+final agg row
+    "moran_i": ["Generate", "HashAggregate", "!Python"],
 }
 
 
