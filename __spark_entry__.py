@@ -414,6 +414,38 @@ def q_tile_cells(spark, sf_dir):
     )
 
 
+def q_cell_compact(spark, sf_dir):
+    """Cell-set compaction (X23, the H3 ``compactCells`` analog): a
+    res-10 cover mixing per-nation solid 16x16 blocks (which collapse
+    through three levels) with scattered per-customer cells (which stay
+    fine) compacts to the minimal mixed-resolution set.  The oracle
+    replays the iterative 4-sibling collapse as three chained QUALIFY
+    levels over the identical integer cell algebra."""
+    from osm2geojson_lite_spark.spatial import compact_cells
+
+    rs, xs = 1 << 56, 1 << 28
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    scatter = cust.select(
+        (F.lit(10).cast("long") * F.lit(rs)
+         + (k * 7919 % 1024) * F.lit(xs)
+         + (k * 104729 % 1024)).alias("cell"))
+    nat = _read(spark, sf_dir, "nation")
+    blocks = (
+        nat.select(F.col("n_nationkey").cast("long").alias("n"),
+                   F.explode(F.sequence(F.lit(0).cast("long"),
+                                        F.lit(255).cast("long"))).alias("d"))
+        .select((F.lit(10).cast("long") * F.lit(rs)
+                 + ((F.col("n") * 40 % 900)
+                    + (F.col("d") / 16).cast("long")) * F.lit(xs)
+                 + ((F.col("n") * 60 % 900) + F.col("d") % 16)).alias("cell"))
+    )
+    base = scatter.unionByName(blocks).distinct()
+    out = compact_cells(base, 10, 7)
+    return out.select(F.col("cell").cast("bigint").alias("cell"),
+                      F.col("res").cast("int").alias("res"))
+
+
 def q_tile_rollup(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     lon, lat = _lon(F.col("c_custkey")), _lat(F.col("c_custkey"))
@@ -790,6 +822,20 @@ def _segments(df, key, a, b, c, d):
         x1.alias("x1"), y1.alias("y1"),
         (x1 + dx).alias("x2"), (y1 + dy).alias("y2"),
     )
+
+
+def q_line_cells(spark, sf_dir):
+    """Segment -> cell supercover (X24): customer segments in a 30-degree
+    box rasterized onto the res-9 grid by column-strip decomposition.
+    The oracle chains the identical quantize/clip/interpolate/floor IEEE
+    expressions through two generate_series unnests."""
+    from osm2geojson_lite_spark.spatial import line_cells
+
+    segs = _segments(_read(spark, sf_dir, "customer"), "c_custkey",
+                     7919, 104729, 31, 17)
+    out = line_cells(segs, 9)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("cell").cast("bigint").alias("cell"))
 
 
 def q_seg_intersect(spark, sf_dir):
@@ -2074,8 +2120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_sample.py's naive-rank parity pin — its seat went to the new
     # gi_hotspots, tile_rollup by its green r4 row on an unchanged
     # operator with the cell encoding itself still gated in-window by
-    # tile_cells — its seat went to the new moran_i) so nothing is
-    # gate-blind if the cutoff recurs.
+    # tile_cells — its seat went to the new moran_i, shared_spans by its
+    # green r4 row on unchanged code plus test_search_spans.py's planted-
+    # span pins — its seat went to the new cell_compact, radius_join by
+    # its green r4 row on code unchanged since round 3 plus
+    # test_spatial.py's brute-force-oracle pin plus the dbscan_clusters
+    # gate row exercising the same eps-pair join in-window — its seat
+    # went to the new line_cells) so nothing is gate-blind if the cutoff
+    # recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -2096,7 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersect": q_seg_intersect,
         "snap_points": q_snap_points,
         "knn_cells": q_knn,
-        "radius_join": q_radius_join,
+        "line_cells": q_line_cells,
         "raster_assign": q_raster_assign,
         "line_simplify": q_line_simplify,
         "geom_stats": q_geom_stats,
@@ -2126,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "embed_project": q_embed_project,
         "decontaminate": q_decontaminate,
+        "cell_compact": q_cell_compact,
         "shared_spans": q_shared_spans,
         "ngram_topk": q_ngram_topk,
         "repetition_stats": q_repetition_stats,
@@ -2162,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "mixture_sample": q_mixture_sample,
         "tile_rollup": q_tile_rollup,
+        "radius_join": q_radius_join,
         "ann_topk": q_ann_topk,
     }
 
@@ -2184,6 +2238,28 @@ def _cell_sql(lon: str, lat: str, res: int) -> str:
     x = f"greatest(0, least({n - 1}, floor((({lon}) - -180.0) / 360.0 * {n})::bigint))"
     y = f"greatest(0, least({n - 1}, floor((({lat}) - -90.0) / 180.0 * {n})::bigint))"
     return f"({res}::bigint * {1 << 56} + {x} * {1 << 28} + {y})"
+
+
+def _compact_sql(base_cte: str, res_from: int, res_to: int) -> str:
+    """DuckDB replay of ``compact_cells``: one QUALIFY pair per level —
+    incomplete 4-sibling groups emit their children at the current res,
+    complete groups feed the next level as the parent cell."""
+    rs, xs = 1 << 56, 1 << 28
+    parts = [f"with base as ({base_cte})"]
+    cur, outs = "base", []
+    for r in range(res_from, res_to, -1):
+        parent = (f"({r - 1}::bigint * {rs}"
+                  f" + (((cell % {rs}) // {xs}) // 2) * {xs}"
+                  f" + ((cell % {xs}) // 2))")
+        parts.append(f"p{r} as (select cell, {parent} parent from {cur})")
+        parts.append(f"k{r} as (select cell, {r} res from p{r} qualify "
+                     f"count(*) over (partition by parent) < 4)")
+        parts.append(f"l{r - 1} as (select distinct parent cell from p{r} "
+                     f"qualify count(*) over (partition by parent) = 4)")
+        outs.append(f"select cell, res from k{r}")
+        cur = f"l{r - 1}"
+    outs.append(f"select cell, {res_to} res from {cur}")
+    return ",\n".join(parts) + "\n" + "\nunion all\n".join(outs)
 
 
 _SHINGLE_SQL = (
@@ -3266,6 +3342,18 @@ def oracle_sql() -> dict[str, str]:
             select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
             from customer group by 1
         """,
+        "cell_compact": _compact_sql(
+            f"""select distinct cell from (
+                select (10::bigint * {1 << 56}
+                        + ((c_custkey * 7919) % 1024) * {1 << 28}
+                        + ((c_custkey * 104729) % 1024)) cell
+                from customer
+                union all
+                select (10::bigint * {1 << 56}
+                        + (((n_nationkey * 40) % 900) + (d // 16)) * {1 << 28}
+                        + (((n_nationkey * 60) % 900) + (d % 16))) cell
+                from nation, generate_series(0, 255) t(d)
+            )""", 10, 7),
         "tile_distinct_hll": _hll_tile_sql(),
         # price_quantiles: full replay of the histogram sketch — identical
         # binning expression tree, windowed cumsum over the tiny register
@@ -3662,6 +3750,58 @@ def oracle_sql() -> dict[str, str]:
         # reference-point-dedup join — identical orientation sign test and
         # crossing-point formula, so gate equality proves the cover is
         # lossless and each crossing pair survives exactly once
+        # line_cells: the same strip decomposition replayed expression for
+        # expression (quantize, clip, interpolate, floor — identical IEEE
+        # op order) through two generate_series unnests; `by` is renamed
+        # b_y because it is a SQL keyword
+        "line_cells": f"""
+            with segs as (
+              select c_custkey id,
+                     (c_custkey * 7919 % 3000) / 100.0 x1,
+                     (c_custkey * 104729 % 3000) / 100.0 y1,
+                     (c_custkey * 7919 % 3000) / 100.0
+                       + ((c_custkey * 31 % 600) / 100.0 - 3.0) x2,
+                     (c_custkey * 104729 % 3000) / 100.0
+                       + ((c_custkey * 17 % 600) / 100.0 - 3.0) y2
+              from customer
+            ),
+            norm as (
+              select id,
+                     case when x2 < x1 then x2 else x1 end ax,
+                     case when x2 < x1 then y2 else y1 end ay,
+                     case when x2 < x1 then x1 else x2 end bx,
+                     case when x2 < x1 then y1 else y2 end b_y
+              from segs
+            ),
+            cols as (
+              select id, ax, ay, bx, b_y,
+                     unnest(generate_series(
+                       greatest(0, least(511,
+                         floor((ax - -180.0) / 360.0 * 512)::bigint)),
+                       greatest(0, least(511,
+                         floor((bx - -180.0) / 360.0 * 512)::bigint)))) cx
+              from norm
+            ),
+            ys as (
+              select id, cx,
+                     case when bx = ax then ay
+                          else ay + (greatest(ax, -180.0 + (cx * 360.0) / 512)
+                                     - ax) * ((b_y - ay) / (bx - ax)) end y_s,
+                     case when bx = ax then b_y
+                          else ay + (least(bx, -180.0 + ((cx + 1.0) * 360.0) / 512)
+                                     - ax) * ((b_y - ay) / (bx - ax)) end y_e
+              from cols
+            )
+            select id,
+                   (9::bigint * {1 << 56} + cx * {1 << 28}
+                    + unnest(generate_series(
+                        greatest(0, least(511, floor(
+                          (least(y_s, y_e) - -90.0) / 180.0 * 512)::bigint)),
+                        greatest(0, least(511, floor(
+                          (greatest(y_s, y_e) - -90.0) / 180.0 * 512)::bigint))
+                      ))) cell
+            from ys
+        """,
         "seg_intersect": """
             with l as (
               select c_custkey id,

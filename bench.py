@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "snap_points",
     "poly_overlap",
     "knn_cells",
+    "cell_compact",
+    "line_cells",
     "dbscan_clusters",
     "gi_hotspots",
     "moran_i",

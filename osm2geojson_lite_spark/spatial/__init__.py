@@ -35,7 +35,9 @@ from .geomstats import (
     ring_signed_area_col,
 )
 from .intersect import segment_intersection_join
+from .compact import compact_cells, uncompact_cells
 from .knn import knn_join
+from .line_cells import line_cells
 from .overlap import polygon_overlap_join, rings_overlap
 from .pip import pip_join, polygon_cover_cells
 from .range_join import radius_join, radius_res
@@ -80,6 +82,9 @@ __all__ = [
     "dp_keep_indices",
     "simplify_lines",
     "zonal_stats",
+    "compact_cells",
+    "uncompact_cells",
+    "line_cells",
     "raster_tile_assignment",
     "tile_manifest",
 ]

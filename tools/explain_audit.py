@@ -163,6 +163,11 @@ CHECKS = {
                     "BroadcastNestedLoopJoin", "!Python"],
     # same scatter plan collapsed to one global partial+final agg row
     "moran_i": ["Generate", "HashAggregate", "!Python"],
+    # per-level 4-sibling collapse: count+collect_list partial aggs on the
+    # parent key, geometric shrink level over level, no joins, no Python
+    "cell_compact": ["HashAggregate", "!Python", "!CartesianProduct"],
+    # two map-side sequence explodes, output-linear; no shuffle at all
+    "line_cells": ["Generate", "!Exchange", "!Python", "!CartesianProduct"],
 }
 
 
