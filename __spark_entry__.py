@@ -446,6 +446,27 @@ def q_cell_compact(spark, sf_dir):
                       F.col("res").cast("int").alias("res"))
 
 
+def q_idw_surface(spark, sf_dir):
+    """IDW interpolation surface (X25): customer points carrying an
+    exact integer field (c_custkey % 97) gridded at res 7 with the
+    ring-2 integer-quantized inverse-distance-squared kernel.  The
+    oracle replays bin -> scatter (generate_series offsets, identical
+    pmod wrap / pole clamp / integer weights) -> re-aggregate, with the
+    same single IEEE divide at the end."""
+    from osm2geojson_lite_spark.spatial import idw_surface
+
+    cust = _read(spark, sf_dir, "customer")
+    pts = cust.select(_lon(F.col("c_custkey")).alias("lon"),
+                      _lat(F.col("c_custkey")).alias("lat"),
+                      (F.col("c_custkey") % 97).cast("long").alias("value"))
+    out = idw_surface(pts, 7, ring=2)
+    return out.select(F.col("cell").cast("bigint").alias("cell"),
+                      F.col("num").cast("bigint").alias("num"),
+                      F.col("den").cast("bigint").alias("den"),
+                      F.col("n_src").cast("bigint").alias("n_src"),
+                      "idw_value")
+
+
 def q_tile_rollup(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     lon, lat = _lon(F.col("c_custkey")), _lat(F.col("c_custkey"))
@@ -2126,8 +2147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its green r4 row on code unchanged since round 3 plus
     # test_spatial.py's brute-force-oracle pin plus the dbscan_clusters
     # gate row exercising the same eps-pair join in-window — its seat
-    # went to the new line_cells) so nothing is gate-blind if the cutoff
-    # recurs.
+    # went to the new line_cells, raster_assign by its green r4 row on
+    # code unchanged since round 2 plus test_spatial.py's pin — its seat
+    # went to the new idw_surface) so nothing is gate-blind if the
+    # cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -2149,7 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_points": q_snap_points,
         "knn_cells": q_knn,
         "line_cells": q_line_cells,
-        "raster_assign": q_raster_assign,
+        "idw_surface": q_idw_surface,
         "line_simplify": q_line_simplify,
         "geom_stats": q_geom_stats,
         "simhash_neardup": q_simhash_neardup,
@@ -2216,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "tile_rollup": q_tile_rollup,
         "radius_join": q_radius_join,
+        "raster_assign": q_raster_assign,
         "ann_topk": q_ann_topk,
     }
 
@@ -3341,6 +3365,36 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup": f"""
             select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
             from customer group by 1
+        """,
+        # idw_surface: bin -> scatter -> re-aggregate replay; identical
+        # pmod wrap, pole clamp, integer kernel 2520 // (dx²+dy²+1), and
+        # the one final IEEE divide of two exact integer sums
+        "idw_surface": f"""
+            with binned as (
+              select {_cell_sql(lon_c, lat_c, 7)} cell,
+                     sum((c_custkey % 97)::bigint)::bigint sv,
+                     count(*)::bigint np
+              from customer group by 1
+            ),
+            scat as (
+              select (7::bigint * {1 << 56}
+                      + (((((cell % {1 << 56}) // {1 << 28}) + dx) % 128 + 128)
+                         % 128) * {1 << 28}
+                      + ((cell % {1 << 28}) + dy)) tgt,
+                     sv, np, (2520 // (dx * dx + dy * dy + 1))::bigint w
+              from binned,
+                   generate_series(-2, 2) t1(dx),
+                   generate_series(-2, 2) t2(dy)
+              where (cell % {1 << 28}) + dy >= 0
+                and (cell % {1 << 28}) + dy < 128
+            )
+            select tgt cell,
+                   sum(sv * w)::bigint num,
+                   sum(np * w)::bigint den,
+                   count(*)::bigint n_src,
+                   sum(sv * w)::bigint::double
+                     / sum(np * w)::bigint::double idw_value
+            from scat group by 1
         """,
         "cell_compact": _compact_sql(
             f"""select distinct cell from (

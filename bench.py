@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "knn_cells",
     "cell_compact",
     "line_cells",
+    "idw_surface",
     "dbscan_clusters",
     "gi_hotspots",
     "moran_i",

@@ -36,6 +36,7 @@ from .geomstats import (
 )
 from .intersect import segment_intersection_join
 from .compact import compact_cells, uncompact_cells
+from .idw import idw_kernel, idw_surface
 from .knn import knn_join
 from .line_cells import line_cells
 from .overlap import polygon_overlap_join, rings_overlap
@@ -85,6 +86,8 @@ __all__ = [
     "compact_cells",
     "uncompact_cells",
     "line_cells",
+    "idw_kernel",
+    "idw_surface",
     "raster_tile_assignment",
     "tile_manifest",
 ]

@@ -168,6 +168,9 @@ CHECKS = {
     "cell_compact": ["HashAggregate", "!Python", "!CartesianProduct"],
     # two map-side sequence explodes, output-linear; no shuffle at all
     "line_cells": ["Generate", "!Exchange", "!Python", "!CartesianProduct"],
+    # bin agg + k-ring scatter explode + re-agg; integers until one divide
+    "idw_surface": ["HashAggregate", "Generate", "!Python",
+                    "!CartesianProduct"],
 }
 
 
