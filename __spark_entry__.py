@@ -446,6 +446,26 @@ def q_cell_compact(spark, sf_dir):
                       F.col("res").cast("int").alias("res"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (P-series): a deterministic 3-out-degree
+    digraph over the customer keys, 5 power iterations in exact scaled
+    integers.  The oracle unrolls the identical integer recurrence as
+    five chained CTEs."""
+    from osm2geojson_lite_spark.pipeline.pagerank import pagerank
+
+    cust = _read(spark, sf_dir, "customer")
+    n0 = cust.count()
+    k = F.col("c_custkey").cast("long")
+    parts = [cust.select(k.alias("src"),
+                         ((k * m) % F.lit(n0) + 1).alias("dst"))
+             for m in (7919, 104729, 31)]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    out = pagerank(edges, n_iters=5)
+    return out.select(F.col("node").cast("bigint").alias("node"),
+                      F.col("rank_fp").cast("bigint").alias("rank_fp"),
+                      "rank")
+
+
 def q_idw_surface(spark, sf_dir):
     """IDW interpolation surface (X25): customer points carrying an
     exact integer field (c_custkey % 97) gridded at res 7 with the
@@ -2149,7 +2169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate row exercising the same eps-pair join in-window — its seat
     # went to the new line_cells, raster_assign by its green r4 row on
     # code unchanged since round 2 plus test_spatial.py's pin — its seat
-    # went to the new idw_surface) so nothing is gate-blind if the
+    # went to the new idw_surface, pip_diamonds by its green r4 row on
+    # code unchanged since round 2 plus test_spatial.py's pin plus the
+    # zonal_stats gate row exercising the same PIP join in-window — its
+    # seat went to the new pagerank) so nothing is gate-blind if the
     # cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
@@ -2166,7 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_distinct_hll": q_tile_distinct_hll,
         "cms_counts": q_cms_counts,
         "price_quantiles": q_price_quantiles,
-        "pip_diamonds": q_pip_diamonds,
+        "pagerank": q_pagerank,
         "zonal_stats": q_zonal_stats,
         "seg_intersect": q_seg_intersect,
         "snap_points": q_snap_points,
@@ -2240,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
+        "pip_diamonds": q_pip_diamonds,
         "ann_topk": q_ann_topk,
     }
 
@@ -2284,6 +2308,52 @@ def _compact_sql(base_cte: str, res_from: int, res_to: int) -> str:
         cur = f"l{r - 1}"
     outs.append(f"select cell, {res_to} res from {cur}")
     return ",\n".join(parts) + "\n" + "\nunion all\n".join(outs)
+
+
+def _pagerank_sql(n_iters: int = 5, dp: int = 85,
+                  scale: int = 10 ** 9) -> str:
+    """DuckDB replay of the fixed-point PageRank recurrence: the edge
+    synth, then one chained CTE per power iteration — identical integer
+    division / damping / teleport arithmetic, one final IEEE divide."""
+    head = f"""
+        with cnt0 as (select count(*)::bigint n from customer),
+        e as (
+          select distinct src, dst from (
+            select c_custkey src, ((c_custkey * 7919) % n) + 1 dst
+            from customer, cnt0
+            union all
+            select c_custkey, ((c_custkey * 104729) % n) + 1
+            from customer, cnt0
+            union all
+            select c_custkey, ((c_custkey * 31) % n) + 1
+            from customer, cnt0
+          ) t where src <> dst
+        ),
+        nodes as (select distinct node from
+                  (select src node from e union all select dst node from e)),
+        cnt as (select count(*)::bigint n from nodes),
+        deg as (select src, count(*)::bigint d from e group by 1),
+        it0 as (select node, ({scale} // n)::bigint r from nodes, cnt)"""
+    its = []
+    for i in range(1, n_iters + 1):
+        its.append(f"""
+        it{i} as (
+          select nd.node,
+                 ((({100 - dp}::bigint * {scale}::bigint) // (100 * cnt.n))
+                  + ({dp}::bigint * coalesce(s.s, 0)) // 100)::bigint r
+          from nodes nd
+          cross join cnt
+          left join (
+            select e.dst node, sum(rp.r // dg.d)::bigint s
+            from e
+            join deg dg on dg.src = e.src
+            join it{i - 1} rp on rp.node = e.src
+            group by 1
+          ) s on s.node = nd.node
+        )""")
+    return (head + "," + ",".join(its)
+            + f"\nselect node, r rank_fp, r::double / {float(scale)} rank"
+            f"\nfrom it{n_iters}")
 
 
 _SHINGLE_SQL = (
@@ -3366,6 +3436,7 @@ def oracle_sql() -> dict[str, str]:
             select {_cell_sql(lon_c, lat_c, 7)} parent_cell, count(*) n_points
             from customer group by 1
         """,
+        "pagerank": _pagerank_sql(),
         # idw_surface: bin -> scatter -> re-aggregate replay; identical
         # pmod wrap, pole clamp, integer kernel 2520 // (dx²+dy²+1), and
         # the one final IEEE divide of two exact integer sums

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "cell_compact",
     "line_cells",
     "idw_surface",
+    "pagerank",
     "dbscan_clusters",
     "gi_hotspots",
     "moran_i",

@@ -41,6 +41,7 @@ from .similarity import (
     sign_lsh_topk,
 )
 from .cluster import connected_components, near_dup_clusters
+from .pagerank import pagerank
 from .sketch import (cms_merge, cms_query, cms_sketch,
                      hist_merge, hist_quantiles, hist_sketch,
                      hll_estimate, hll_merge, hll_sketch)
@@ -66,6 +67,7 @@ __all__ = [
     "cms_query",
     "cms_sketch",
     "connected_components",
+    "pagerank",
     "hist_merge",
     "hist_quantiles",
     "hist_sketch",

@@ -171,6 +171,9 @@ CHECKS = {
     # bin agg + k-ring scatter explode + re-agg; integers until one divide
     "idw_surface": ["HashAggregate", "Generate", "!Python",
                     "!CartesianProduct"],
+    # final round: rank join + partial-agg sum + left join back; earlier
+    # rounds are localCheckpointed so only the last shows in the plan
+    "pagerank": ["HashAggregate", "!Python", "!CartesianProduct"],
 }
 
 
