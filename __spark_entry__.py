@@ -446,6 +446,27 @@ def q_cell_compact(spark, sf_dir):
                       F.col("res").cast("int").alias("res"))
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample KS drift (sketch family): even-key orders vs odd-key
+    orders with a planted 5% price inflation, per order priority, on a
+    shared 64-bin grid.  The oracle replays bin -> full-outer align ->
+    bounded cumulative window -> max |CDF diff| with identical IEEE
+    expressions."""
+    from osm2geojson_lite_spark.pipeline.sketch import hist_sketch, ks_drift
+
+    orders = _read(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("double").alias("v"))
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast("double") * F.lit(1.05)).alias("v"))
+    ra = hist_sketch(a, ["g"], "v", lo=0.0, hi=600000.0, bins=64)
+    rb = hist_sketch(b, ["g"], "v", lo=0.0, hi=600000.0, bins=64)
+    out = ks_drift(ra, rb, ["g"])
+    return out.select("g", "n_a", "n_b", "ks")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-point PageRank (P-series): a deterministic 3-out-degree
     digraph over the customer keys, 5 power iterations in exact scaled
@@ -2172,8 +2193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # went to the new idw_surface, pip_diamonds by its green r4 row on
     # code unchanged since round 2 plus test_spatial.py's pin plus the
     # zonal_stats gate row exercising the same PIP join in-window — its
-    # seat went to the new pagerank) so nothing is gate-blind if the
-    # cutoff recurs.
+    # seat went to the new pagerank, knn_cells by its green r4 row on
+    # code unchanged since the round-4 tree plus test_spatial.py's
+    # brute-force kNN pin — its seat went to the new ks_drift) so
+    # nothing is gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -2193,7 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "seg_intersect": q_seg_intersect,
         "snap_points": q_snap_points,
-        "knn_cells": q_knn,
+        "ks_drift": q_ks_drift,
         "line_cells": q_line_cells,
         "idw_surface": q_idw_surface,
         "line_simplify": q_line_simplify,
@@ -2264,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
         "pip_diamonds": q_pip_diamonds,
+        "knn_cells": q_knn,
         "ann_topk": q_ann_topk,
     }
 
@@ -3437,6 +3461,49 @@ def oracle_sql() -> dict[str, str]:
             from customer group by 1
         """,
         "pagerank": _pagerank_sql(),
+        # ks_drift: bin both sides on the shared grid, full-outer align,
+        # cumulative window over <= 64 register rows per group, then the
+        # order-independent max of per-bin |CDF diff|
+        "ks_drift": """
+            with ra as (
+              select o_orderpriority g,
+                     greatest(0, least(63, floor(
+                       (o_totalprice::double - 0.0) / 600000.0 * 64
+                     )::bigint))::int bin,
+                     count(*)::bigint ca
+              from orders where o_orderkey % 2 = 0 group by 1, 2
+            ),
+            rb as (
+              select o_orderpriority g,
+                     greatest(0, least(63, floor(
+                       (o_totalprice::double * 1.05 - 0.0) / 600000.0 * 64
+                     )::bigint))::int bin,
+                     count(*)::bigint cb
+              from orders where o_orderkey % 2 = 1 group by 1, 2
+            ),
+            m as (
+              select coalesce(ra.g, rb.g) g, coalesce(ra.bin, rb.bin) bin,
+                     coalesce(ca, 0)::bigint ca, coalesce(cb, 0)::bigint cb
+              from ra full outer join rb
+                on ra.g = rb.g and ra.bin = rb.bin
+            ),
+            c as (
+              select g, bin, ca, cb,
+                     sum(ca) over (partition by g order by bin
+                                   rows unbounded preceding) cuma,
+                     sum(cb) over (partition by g order by bin
+                                   rows unbounded preceding) cumb
+              from m
+            ),
+            t as (select g, sum(ca)::bigint na, sum(cb)::bigint nb
+                  from m group by 1)
+            select c.g g, max(t.na)::bigint n_a, max(t.nb)::bigint n_b,
+                   case when max(t.na) = 0 or max(t.nb) = 0 then 1.0
+                        else max(abs(cuma::double / t.na::double
+                                     - cumb::double / t.nb::double)) end ks
+            from c join t on c.g = t.g
+            group by 1
+        """,
         # idw_surface: bin -> scatter -> re-aggregate replay; identical
         # pmod wrap, pole clamp, integer kernel 2520 // (dx²+dy²+1), and
         # the one final IEEE divide of two exact integer sums

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "line_cells",
     "idw_surface",
     "pagerank",
+    "ks_drift",
     "dbscan_clusters",
     "gi_hotspots",
     "moran_i",

@@ -324,3 +324,60 @@ def hist_quantiles(registers: DataFrame, group_cols: Sequence[str],
         n_.cast("bigint").alias("n"),
         F.round(est, 9).alias("est"),
     )
+
+
+def ks_drift(reg_a: DataFrame, reg_b: DataFrame,
+             group_cols: Sequence[str]) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    histogram register tables (both built by :func:`hist_sketch` on the
+    SAME grid) — the distribution-shift monitor a training pipeline runs
+    between corpus snapshots, mixture revisions, or source partitions
+    before a new dump is admitted.
+
+    ``KS = max over bins of |CDF_a - CDF_b|``, computed on the binned
+    CDFs (exact for the chosen grid; resolution = one bin).  Output one
+    row per group: ``(group…, n_a, n_b, ks)``.  A group with an empty or
+    missing side reports ``ks = 1.0`` (total drift) by convention.
+
+    Scale + determinism shape: the raw corpora were already reduced to
+    ≤ ``bins`` exact-integer rows per group by ``hist_sketch``, so the
+    full-outer bin align, the cumulative window (≤ ``bins`` rows per
+    group — the `hist_quantiles` bounded-window contract), and the
+    per-bin divides all run on register tables.  The final reduce is
+    ``max`` of per-bin doubles — order-independent, unlike a float sum —
+    so the statistic is byte-identical at any partitioning.  The CDF
+    between occupied bins is constant, so taking the max over
+    union-occupied bins only is exact.
+    """
+    g = list(group_cols)
+    a = reg_a.select(*g, "bin", F.col("cnt").alias("_ca"))
+    b = reg_b.select(*g, "bin", F.col("cnt").alias("_cb"))
+    merged = (a.join(b, g + ["bin"], "full_outer")
+              .select(*g, "bin",
+                      F.coalesce("_ca", F.lit(0)).alias("_ca"),
+                      F.coalesce("_cb", F.lit(0)).alias("_cb")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(*g).orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        *g,
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"))
+    totals = merged.groupBy(*g).agg(F.sum("_ca").alias("n_a"),
+                                    F.sum("_cb").alias("n_b"))
+    # try_divide: an empty side yields NULL per-bin diffs (dropped by the
+    # max) and the final when() reports the ks = 1.0 convention instead
+    d = F.abs(F.try_divide(F.col("_cuma").cast("double"),
+                           F.col("n_a").cast("double"))
+              - F.try_divide(F.col("_cumb").cast("double"),
+                             F.col("n_b").cast("double")))
+    return (
+        cum.join(F.broadcast(totals), g)
+        .groupBy(*g)
+        .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+             F.max(d).alias("_ks"))
+        .select(*g, F.col("n_a").cast("bigint").alias("n_a"),
+                F.col("n_b").cast("bigint").alias("n_b"),
+                F.when((F.col("n_a") == 0) | (F.col("n_b") == 0),
+                       F.lit(1.0)).otherwise(F.col("_ks")).alias("ks"))
+    )

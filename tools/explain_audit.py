@@ -174,6 +174,9 @@ CHECKS = {
     # final round: rank join + partial-agg sum + left join back; earlier
     # rounds are localCheckpointed so only the last shows in the plan
     "pagerank": ["HashAggregate", "!Python", "!CartesianProduct"],
+    # register-table pipeline: raw orders reduced by partial-agg binning
+    # first; window + max run on <= 64 rows per group
+    "ks_drift": ["HashAggregate", "Window", "!Python", "!CartesianProduct"],
 }
 
 
