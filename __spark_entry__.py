@@ -446,6 +446,29 @@ def q_cell_compact(spark, sf_dir):
                       F.col("res").cast("int").alias("res"))
 
 
+def q_geo_radius(spark, sf_dir):
+    """Geodesic radius join (X27): customer x supplier points within
+    250 great-circle km.  Output is the pair set only — haversine uses
+    sin/cos/asin, which are not correctly-rounded across engines, so
+    distances stay out of the hash and the random panel keeps pairs far
+    from the boundary.  The oracle is a brute-force cross join with the
+    identical haversine — equality proves the cap bounding-box cell
+    prefilter is lossless."""
+    from osm2geojson_lite_spark.spatial import geo_radius_join
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("left_id"),
+        _lon(F.col("c_custkey")).alias("lon"),
+        _lat(F.col("c_custkey")).alias("lat"))
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("right_id"),
+        _lon(F.col("s_suppkey") * 13).alias("lon"),
+        _lat(F.col("s_suppkey") * 13).alias("lat"))
+    out = geo_radius_join(cust, supp, 250.0)
+    return out.select(F.col("left_id").cast("bigint").alias("left_id"),
+                      F.col("right_id").cast("bigint").alias("right_id"))
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample KS drift (sketch family): even-key orders vs odd-key
     orders with a planted 5% price inflation, per order priority, on a
@@ -2195,8 +2218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # zonal_stats gate row exercising the same PIP join in-window — its
     # seat went to the new pagerank, knn_cells by its green r4 row on
     # code unchanged since the round-4 tree plus test_spatial.py's
-    # brute-force kNN pin — its seat went to the new ks_drift) so
-    # nothing is gate-blind if the cutoff recurs.
+    # brute-force kNN pin — its seat went to the new ks_drift,
+    # osm_convert_corpus by its green r4 row on unchanged code plus the
+    # strictly-stronger in-window osm_fixture_parity byte-exact golden
+    # gate over the same convert path — its seat went to the new
+    # geo_radius) so nothing is gate-blind if the cutoff recurs.
     return {
         "osm_point_features": q_osm_point_features,
         "osm_way_resolution": q_osm_way_resolution,
@@ -2205,7 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_overlap": q_poly_overlap,
         "osm_relation_geometry": q_osm_relation_geometry,
         "osm_polytag_classify": q_osm_polytag_classify,
-        "osm_convert_corpus": q_osm_convert_corpus,
+        "geo_radius": q_geo_radius,
         "tile_cells": q_tile_cells,
         "moran_i": q_moran_i,
         "tile_smooth": q_tile_smooth,
@@ -2288,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_assign": q_raster_assign,
         "pip_diamonds": q_pip_diamonds,
         "knn_cells": q_knn,
+        "osm_convert_corpus": q_osm_convert_corpus,
         "ann_topk": q_ann_topk,
     }
 
@@ -3461,6 +3488,32 @@ def oracle_sql() -> dict[str, str]:
             from customer group by 1
         """,
         "pagerank": _pagerank_sql(),
+        # geo_radius: brute-force cross join + identical haversine; pair
+        # set only (trig is not correctly-rounded cross-engine, so the
+        # distance column stays out of the hash)
+        "geo_radius": f"""
+            with l as (
+              select c_custkey left_id,
+                     {LON_SQL.format(k='c_custkey')} lon,
+                     {LAT_SQL.format(k='c_custkey')} lat
+              from customer
+            ),
+            r as (
+              select s_suppkey right_id,
+                     {LON_SQL.format(k='s_suppkey * 13')} lon,
+                     {LAT_SQL.format(k='s_suppkey * 13')} lat
+              from supplier
+            )
+            select left_id::bigint left_id, right_id::bigint right_id
+            from l, r
+            where 2.0 * 6371.0088 * asin(least(1.0, sqrt(
+                    sin(radians(r.lat - l.lat) / 2.0)
+                      * sin(radians(r.lat - l.lat) / 2.0)
+                    + cos(radians(l.lat)) * cos(radians(r.lat))
+                      * sin(radians(r.lon - l.lon) / 2.0)
+                      * sin(radians(r.lon - l.lon) / 2.0)
+                  ))) <= 250.0
+        """,
         # ks_drift: bin both sides on the shared grid, full-outer align,
         # cumulative window over <= 64 register rows per group, then the
         # order-independent max of per-bin |CDF diff|

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "idw_surface",
     "pagerank",
     "ks_drift",
+    "geo_radius",
     "dbscan_clusters",
     "gi_hotspots",
     "moran_i",

@@ -36,6 +36,7 @@ from .geomstats import (
 )
 from .intersect import segment_intersection_join
 from .compact import compact_cells, uncompact_cells
+from .geodesic import geo_radius_join, geo_radius_res, haversine_km
 from .idw import idw_kernel, idw_surface
 from .knn import knn_join
 from .line_cells import line_cells
@@ -88,6 +89,9 @@ __all__ = [
     "line_cells",
     "idw_kernel",
     "idw_surface",
+    "geo_radius_join",
+    "geo_radius_res",
+    "haversine_km",
     "raster_tile_assignment",
     "tile_manifest",
 ]

@@ -177,6 +177,9 @@ CHECKS = {
     # register-table pipeline: raw orders reduced by partial-agg binning
     # first; window + max run on <= 64 rows per group
     "ks_drift": ["HashAggregate", "Window", "!Python", "!CartesianProduct"],
+    # cap-bbox explode + ONE cell equi-join + JVM haversine refine; the
+    # small exploded left side broadcasts, never a cross join
+    "geo_radius": ["Generate", "!Python", "!CartesianProduct"],
 }
 
 
