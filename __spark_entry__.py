@@ -1224,6 +1224,23 @@ def q_zorder_key(spark, sf_dir):
     )
 
 
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert layout key over the synthesized customer coordinates — the
+    locality-optimal twin of zorder_key (spatial/hilbert.py; Iceberg /
+    liquid-clustering's Hilbert option).  The curve walk is a 4-state
+    quadrant automaton in pure integer algebra, so the oracle replays it
+    exactly as a recursive CTE over the 16 bit levels with the same
+    literal LUTs."""
+    from osm2geojson_lite_spark.spatial.hilbert import hilbert_key_col
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        "c_custkey",
+        hilbert_key_col(_lon(k), _lat(k), bits=16).alias("hkey"),
+    )
+
+
 def q_ann_pq(spark, sf_dir):
     """Product-quantized ANN with exact refine (Jegou et al. 2011 + the
     FAISS IVFPQ-refine shape): 16 codebooks x 16 centroids over 4-dim
@@ -2232,7 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_relation_geometry": q_osm_relation_geometry,
         "osm_polytag_classify": q_osm_polytag_classify,
         "geo_radius": q_geo_radius,
-        "tile_cells": q_tile_cells,
+        "hilbert_key": q_hilbert_key,
         "moran_i": q_moran_i,
         "tile_smooth": q_tile_smooth,
         "tile_distinct_hll": q_tile_distinct_hll,
@@ -2310,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "mixture_sample": q_mixture_sample,
         "tile_rollup": q_tile_rollup,
+        "tile_cells": q_tile_cells,
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
         "pip_diamonds": q_pip_diamonds,
@@ -2714,6 +2732,13 @@ def oracle_sql() -> dict[str, str]:
         for b in range(16)
     )
 
+    # Hilbert automaton LUTs as DuckDB list literals (python repr == SQL
+    # list syntax); the recursive CTE replays the exact 16-level walk.
+    from osm2geojson_lite_spark.spatial.hilbert import (
+        _DIGIT_FLAT as _h_digit_lut, _NEXT_FLAT as _h_next_lut,
+    )
+    _h_q = "(((x >> (i - 1)) & 1) * 2 + ((y >> (i - 1)) & 1))"
+
     def _ivf_replay_sql(cent_sql: str, res_name: str, spill: int = 1) -> str:
         """IVF assignment + top-4 probe + exact re-rank, as CTE blocks ending
         in ``<res_name>(query_id, neighbor_id, rnk)``.  ``spill`` replays
@@ -3063,6 +3088,26 @@ def oracle_sql() -> dict[str, str]:
               from customer
             )
             select c_custkey, ({_zorder_terms}) zkey from axes
+        """,
+        "hilbert_key": f"""
+            with recursive axes as (
+              select c_custkey,
+                     greatest(0, least(65535,
+                       floor((({lon_c}) - (-180.0)) / 360.0 * 65536)::bigint)) x,
+                     greatest(0, least(65535,
+                       floor((({lat_c}) - (-90.0)) / 180.0 * 65536)::bigint)) y
+              from customer
+            ), walk as (
+              select c_custkey, x, y, 16 as i,
+                     0 as state, 0::bigint as hkey
+              from axes
+              union all
+              select c_custkey, x, y, i - 1,
+                     {_h_next_lut}[state * 4 + {_h_q} + 1],
+                     hkey * 4 + {_h_digit_lut}[state * 4 + {_h_q} + 1]
+              from walk where i > 0
+            )
+            select c_custkey, hkey from walk where i = 0
         """,
         # PQ + refine: encode (9dp L2^2 argmin, lowest code), ADC (9dp
         # per-subspace dot contributions folded in ascending sorted order),

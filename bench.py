@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "asof_join",
     "interval_join",
     "zorder_key",
+    "hilbert_key",
     "geojson_read",
 ]
 
