@@ -53,14 +53,21 @@ def dbscan(points: DataFrame, eps: float, min_pts: int, *,
         F.col(lon_col).cast("double").alias("lon"),
         F.col(lat_col).cast("double").alias("lat"),
     )
+    # The eps-pair join feeds four consumers (degree count, core-core
+    # edges, border labeling, noise anti-join); checkpoint it once so the
+    # cell-bucketed self-join runs once, not once per consumer — the same
+    # eager-materialization contract connected_components already applies
+    # to its edge input (blocks are freed by the ContextCleaner when the
+    # result DataFrame is released).
     pairs = radius_join(
         pts, pts, eps, left_id="point_id", right_id="point_id",
         res=res, include_self=True, salt=salt,
-    ).select("left_id", "right_id")
+    ).select("left_id", "right_id").localCheckpoint(eager=True)
 
     deg = pairs.groupBy("left_id").agg(F.count(F.lit(1)).alias("_n"))
     core = (deg.filter(F.col("_n") >= F.lit(int(min_pts)))
-            .select(F.col("left_id").alias("_core_id")))
+            .select(F.col("left_id").alias("_core_id"))
+            .localCheckpoint(eager=True))
 
     core_edges = (
         pairs
