@@ -510,6 +510,28 @@ def q_pagerank(spark, sf_dir):
                       "rank")
 
 
+def q_graph_hops(spark, sf_dir):
+    """Multi-source BFS hop distance (pipeline/bfs.py): minimum hops from
+    seeds {1,2,3} over the same deterministic 3-out-degree digraph as
+    q_pagerank, bounded at 6 hops.  Exact integers end to end; the oracle
+    replays the walk as a depth-bounded recursive CTE + min-aggregation
+    (path enumeration is bounded by out_degree^6 per seed — tiny; the
+    Spark side explores each NODE once per frontier, never paths)."""
+    from osm2geojson_lite_spark.pipeline.bfs import bfs_hops
+
+    cust = _read(spark, sf_dir, "customer")
+    n0 = cust.count()
+    k = F.col("c_custkey").cast("long")
+    parts = [cust.select(k.alias("src"),
+                         ((k * m) % F.lit(n0) + 1).alias("dst"))
+             for m in (7919, 104729, 31)]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    seeds = spark.range(1, 4).select(F.col("id").alias("node"))
+    return bfs_hops(edges, seeds, max_hops=6).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("hops").cast("int").alias("hops"))
+
+
 def q_idw_surface(spark, sf_dir):
     """IDW interpolation surface (X25): customer points carrying an
     exact integer field (c_custkey % 97) gridded at res 7 with the
@@ -2241,7 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate over the same convert path — its seat went to the new
     # geo_radius) so nothing is gate-blind if the cutoff recurs.
     return {
-        "osm_point_features": q_osm_point_features,
+        "graph_hops": q_graph_hops,
         "osm_way_resolution": q_osm_way_resolution,
         "corpus_split": q_corpus_split,
         "osm_fixture_parity": q_osm_fixture_parity,
@@ -2328,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "tile_rollup": q_tile_rollup,
         "tile_cells": q_tile_cells,
+        "osm_point_features": q_osm_point_features,
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
         "pip_diamonds": q_pip_diamonds,
@@ -3533,6 +3556,33 @@ def oracle_sql() -> dict[str, str]:
             from customer group by 1
         """,
         "pagerank": _pagerank_sql(),
+        # graph_hops: depth-bounded recursive walk (enumerates paths —
+        # bounded by out_degree^6 per seed on this synth graph) then
+        # min-aggregates to the hop distance the frontier BFS computes.
+        "graph_hops": """
+            with recursive cnt0 as (select count(*)::bigint n from customer),
+            e as (
+              select distinct src, dst from (
+                select c_custkey src, ((c_custkey * 7919) % n) + 1 dst
+                from customer, cnt0
+                union all
+                select c_custkey, ((c_custkey * 104729) % n) + 1
+                from customer, cnt0
+                union all
+                select c_custkey, ((c_custkey * 31) % n) + 1
+                from customer, cnt0
+              ) t where src <> dst
+            ),
+            walk as (
+              select node::bigint node, 0 as hops
+              from (values (1), (2), (3)) s(node)
+              union all
+              select e.dst, w.hops + 1
+              from walk w join e on e.src = w.node
+              where w.hops < 6
+            )
+            select node, min(hops)::int hops from walk group by node
+        """,
         # geo_radius: brute-force cross join + identical haversine; pair
         # set only (trig is not correctly-rounded cross-engine, so the
         # distance column stays out of the hash)

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "line_cells",
     "idw_surface",
     "pagerank",
+    "graph_hops",
     "ks_drift",
     "geo_radius",
     "dbscan_clusters",
