@@ -510,6 +510,26 @@ def q_pagerank(spark, sf_dir):
                       "rank")
 
 
+def q_convex_hull(spark, sf_dir):
+    """Per-group convex hull (spatial/hull.py): 8 footprint hulls over
+    the customer keys with PURE-INTEGER micro-degree coordinates
+    (lon*1e6 = (k*7919 % 36000)*10^4 - 18*10^7 — no float anywhere), so
+    the strict hull is exact and the oracle gift-wraps the identical
+    integer points with a recursive CTE (monotone chain and gift wrap
+    agree on the strict hull by definition; both emit CCW from the
+    lexicomin vertex)."""
+    from osm2geojson_lite_spark.spatial.hull import convex_hull
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    pts = cust.select(
+        (k % 8).alias("g"),
+        ((k * 7919) % 36000 * 10000 - 180000000).alias("x"),
+        ((k * 104729) % 18000 * 10000 - 90000000).alias("y"),
+    )
+    return convex_hull(pts)
+
+
 def q_graph_hops(spark, sf_dir):
     """Multi-source BFS hop distance (pipeline/bfs.py): minimum hops from
     seeds {1,2,3} over the same deterministic 3-out-degree digraph as
@@ -2264,7 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # geo_radius) so nothing is gate-blind if the cutoff recurs.
     return {
         "graph_hops": q_graph_hops,
-        "osm_way_resolution": q_osm_way_resolution,
+        "convex_hull": q_convex_hull,
         "corpus_split": q_corpus_split,
         "osm_fixture_parity": q_osm_fixture_parity,
         "poly_overlap": q_poly_overlap,
@@ -2351,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "tile_cells": q_tile_cells,
         "osm_point_features": q_osm_point_features,
+        "osm_way_resolution": q_osm_way_resolution,
         "radius_join": q_radius_join,
         "raster_assign": q_raster_assign,
         "pip_diamonds": q_pip_diamonds,
@@ -3556,6 +3577,43 @@ def oracle_sql() -> dict[str, str]:
             from customer group by 1
         """,
         "pagerank": _pagerank_sql(),
+        # convex_hull: gift wrap — from the lexicomin vertex, the next
+        # CCW hull vertex is the unique point with no point strictly to
+        # its right (cross < 0) and no collinear point beyond it; all
+        # integer arithmetic, so it reproduces the monotone chain's
+        # strict hull byte-for-byte.
+        "convex_hull": """
+            with recursive pts as (
+              select distinct c_custkey % 8 g,
+                     (c_custkey * 7919) % 36000 * 10000 - 180000000 x,
+                     (c_custkey * 104729) % 18000 * 10000 - 90000000 y
+              from customer
+            ),
+            start as (
+              select g, x, y from (
+                select g, x, y,
+                       row_number() over (partition by g order by x, y) rn
+                from pts) t where rn = 1
+            ),
+            walk as (
+              select g, x, y, x sx, y sy, 0 as seq from start
+              union all
+              select w.g, n.x, n.y, w.sx, w.sy, w.seq + 1
+              from walk w
+              join pts n on n.g = w.g and (n.x <> w.x or n.y <> w.y)
+              where not (w.seq > 0 and w.x = w.sx and w.y = w.sy)
+                and not exists (select 1 from pts r where r.g = w.g
+                  and ((n.x - w.x) * (r.y - w.y)
+                       - (n.y - w.y) * (r.x - w.x)) < 0)
+                and not exists (select 1 from pts r where r.g = w.g
+                  and ((n.x - w.x) * (r.y - w.y)
+                       - (n.y - w.y) * (r.x - w.x)) = 0
+                  and ((r.x - n.x) * (n.x - w.x)
+                       + (r.y - n.y) * (n.y - w.y)) > 0)
+            )
+            select g::bigint g, seq::int seq, x::bigint x, y::bigint y
+            from walk where not (seq > 0 and x = sx and y = sy)
+        """,
         # graph_hops: depth-bounded recursive walk (enumerates paths —
         # bounded by out_degree^6 per seed on this synth graph) then
         # min-aggregates to the hop distance the frontier BFS computes.

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "idw_surface",
     "pagerank",
     "graph_hops",
+    "convex_hull",
     "ks_drift",
     "geo_radius",
     "dbscan_clusters",
