@@ -76,12 +76,22 @@ def hll_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str, *,
     (p=10 → ±3.2%).  NULL values are ignored (SQL ``count(distinct)``
     semantics).
     """
+    out = hll_register_rows(df, group_cols, value_col, p=p, salt=salt)
+    return out.groupBy(*group_cols, "j").agg(F.max("rho").alias("rho"))
+
+
+def hll_register_rows(df: DataFrame, group_cols: Sequence[str],
+                      value_col: str, *, p: int = 10,
+                      salt: str = "hll") -> DataFrame:
+    """Pre-aggregation register rows ``(group…, j, rho)`` — the map-side
+    half of ``hll_sketch``, shared with the streaming face (which must
+    hand the final ``max`` to Structured Streaming's windowed agg)."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
     w = HASH_BITS - p
     h = _hash60(value_col, salt)
-    out = df.where(F.col(value_col).isNotNull()).select(
+    return df.where(F.col(value_col).isNotNull()).select(
         *[F.col(g) for g in group_cols],
         h.alias("_h"),
     ).select(
@@ -95,7 +105,6 @@ def hll_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str, *,
          .otherwise(F.lit(w + 1) - F.length(F.expr("bin(_r)")))
          .cast("int").alias("rho"),
     )
-    return out.groupBy(*group_cols, "j").agg(F.max("rho").alias("rho"))
 
 
 def hll_merge(registers: DataFrame,

@@ -107,3 +107,56 @@ def stream_tile_heatmap(spark: SparkSession, input_path: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tile_distinct(spark: SparkSession, input_path: str,
+                         output_path: str, checkpoint_path: str, *,
+                         res: int = 8, p: int = 10, salt: str = "hll",
+                         window: str = "10 minutes",
+                         watermark: str = "30 minutes",
+                         trigger_once: bool = True):
+    """Streaming HLL distinct sketch per (window, cell) — the continuous
+    face of ``pipeline.hll_sketch`` ("distinct visitors per tile per 10
+    minutes" over an unbounded ping stream).
+
+    The batch sketch is one map-side register expression + a ``max``
+    aggregation, and ``max`` is exactly the shape Structured Streaming's
+    windowed state store supports: each (window, cell, j) key holds ONE
+    int register, updated monotonically.  State is bounded by (windows
+    in flight) x (occupied cells) x (registers hit), late rows beyond
+    the watermark are dropped by the state store, and a finalized
+    window's register rows are byte-identical to ``hll_sketch`` of that
+    window's events (pinned in tests) — so downstream ``hll_merge`` /
+    ``hll_estimate`` roll the streamed sketches up exactly like batch
+    ones (tile -> parent tile, 10-minute -> daily) without rescanning.
+
+    Output rows: (window_start, window_end, cell, j, rho) — the
+    mergeable register table, not a point estimate, because registers
+    compose and estimates do not.
+    """
+    from ..pipeline.sketch import hll_register_rows
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_path)
+    regs = hll_register_rows(
+        stream.withWatermark("ts", watermark)
+        .withColumn("cell", cell_col(F.col("lon"), F.col("lat"), res)),
+        ["ts", "cell"], "event_id", p=p, salt=salt,
+    )
+    agg = (
+        regs.groupBy(F.window("ts", window).alias("w"), "cell", "j")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell", "j", "rho",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
