@@ -2042,6 +2042,36 @@ def q_interval_join(spark, sf_dir):
                     F.col("v_id_r").alias("v_id"))
 
 
+def q_colocate(spark, sf_dir):
+    """Spatio-temporal co-location: purchase x view pairs within 0.5 planar
+    degrees AND 1 hour (``spatial.colocation_join``'s one-equi-join
+    (cell, time-bucket) covering shape — never a cross join).  Coordinates
+    are a dense deterministic patch (3.6 x 1.8 deg) so co-location is
+    non-degenerate at every SF; the oracle replays the brute-force
+    predicate, which the 3x3-disk / 3-bucket covering argument makes
+    exactly equal."""
+    from osm2geojson_lite_spark.spatial import colocation_join
+
+    ev = _read(spark, sf_dir, "events")
+    t = F.col("ts").cast("timestamp_ltz").cast("long")
+    lon = (F.col("event_id") * F.lit(7919) % F.lit(360)) / F.lit(100.0)
+    lat = (F.col("event_id") * F.lit(104729) % F.lit(180)) / F.lit(100.0)
+    base = ev.select("event_id", "event_type", t.alias("t"),
+                     lon.alias("lon"), lat.alias("lat"))
+    p = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "lon", "lat", "t")
+    v = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "lon", "lat", "t")
+    out = colocation_join(p, v, 0.5, 3600, left_id="p_id", right_id="v_id",
+                          l_ts="t", r_ts="t")
+    return out.select(
+        F.col("left_id").cast("bigint").alias("p_id"),
+        F.col("right_id").cast("bigint").alias("v_id"),
+        F.round(F.col("dist2"), 9).alias("dist2"),
+        F.col("dt_s").cast("bigint").alias("dt_s"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -2281,7 +2311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # osm_convert_corpus by its green r4 row on unchanged code plus the
     # strictly-stronger in-window osm_fixture_parity byte-exact golden
     # gate over the same convert path — its seat went to the new
-    # geo_radius) so nothing is gate-blind if the cutoff recurs.
+    # geo_radius, and osm_polytag_classify by its green r4 row on code
+    # unchanged since round 1 plus the in-window osm_fixture_parity
+    # byte-exact goldens exercising the same polygon-tag classification
+    # end to end — its seat went to the new colocate_pairs) so nothing
+    # is gate-blind if the cutoff recurs.
     return {
         "graph_hops": q_graph_hops,
         "convex_hull": q_convex_hull,
@@ -2289,7 +2323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_fixture_parity": q_osm_fixture_parity,
         "poly_overlap": q_poly_overlap,
         "osm_relation_geometry": q_osm_relation_geometry,
-        "osm_polytag_classify": q_osm_polytag_classify,
         "geo_radius": q_geo_radius,
         "hilbert_key": q_hilbert_key,
         "moran_i": q_moran_i,
@@ -2316,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "colocate_pairs": q_colocate,
         "trip_stats": q_trip_stats,
         "od_matrix": q_od_matrix,
         "stay_points": q_stay_points,
@@ -2350,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
         "osm_props_merge": q_osm_props_merge,
+        "osm_polytag_classify": q_osm_polytag_classify,
         "xml_events": q_xml_events,
         "media_decode": q_media_decode,
         "tpch_q3": q_tpch_q3,
@@ -5137,6 +5172,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.err_value, -1.0) err_value
             from clicks c
             left join best b on b.event_id = c.event_id and b.rn = 1
+        """,
+        "colocate_pairs": """
+            with p as (
+              select event_id p_id, floor(epoch(ts))::bigint t,
+                     (event_id * 7919 % 360) / 100.0 lon,
+                     (event_id * 104729 % 180) / 100.0 lat
+              from events where event_type = 'purchase'
+            ),
+            v as (
+              select event_id v_id, floor(epoch(ts))::bigint t,
+                     (event_id * 7919 % 360) / 100.0 lon,
+                     (event_id * 104729 % 180) / 100.0 lat
+              from events where event_type = 'view'
+            )
+            select p.p_id::bigint p_id, v.v_id::bigint v_id,
+                   round((p.lon - v.lon) * (p.lon - v.lon)
+                         + (p.lat - v.lat) * (p.lat - v.lat), 9) dist2,
+                   (p.t - v.t)::bigint dt_s
+            from p, v
+            where (p.lon - v.lon) * (p.lon - v.lon)
+                  + (p.lat - v.lat) * (p.lat - v.lat) <= 0.5 * 0.5
+              and abs(p.t - v.t) <= 3600
         """,
         "interval_join": """
             with p as (

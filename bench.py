@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "gi_hotspots",
     "moran_i",
     "radius_join",
+    "colocate_pairs",
     "raster_assign",
     "dedup_exact",
     "minhash_neardup",

@@ -35,6 +35,7 @@ from .geomstats import (
     ring_signed_area_col,
 )
 from .intersect import segment_intersection_join
+from .colocate import colocation_join
 from .compact import compact_cells, uncompact_cells
 from .geodesic import geo_radius_join, geo_radius_res, haversine_km
 from .idw import idw_kernel, idw_surface
@@ -71,6 +72,7 @@ __all__ = [
     "ring_perimeter_col",
     "ring_signed_area_col",
     "knn_join",
+    "colocation_join",
     "pip_join",
     "polygon_overlap_join",
     "segment_intersection_join",

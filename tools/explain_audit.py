@@ -180,6 +180,19 @@ CHECKS = {
     # cap-bbox explode + ONE cell equi-join + JVM haversine refine; the
     # small exploded left side broadcasts, never a cross join
     "geo_radius": ["Generate", "!Python", "!CartesianProduct"],
+    # 4-state automaton as chained element_at on literal arrays — pure
+    # map-side integer algebra over the scan, no shuffle, no Python
+    "hilbert_key": ["ReadSchema", "!Exchange", "!Python",
+                    "!CartesianProduct"],
+    # two-stage local-prune: partition-local hulls (MapInPandas, NO
+    # shuffle before it) then ONE exchange into the per-group final
+    "convex_hull": ["MapInPandas", "!CartesianProduct"],
+    # final round: frontier equi-join + distinct + anti-join; earlier
+    # rounds are localCheckpointed so only the last shows in the plan
+    "graph_hops": ["HashAggregate", "!Python", "!CartesianProduct"],
+    # ONE composite (cell, bucket) equi-join after the two covering
+    # explodes — never a cross join, no dedup shuffle after the refine
+    "colocate_pairs": ["Generate", "!Python", "!CartesianProduct"],
 }
 
 
