@@ -832,6 +832,30 @@ def q_geohash_keys(spark, sf_dir):
     )
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Sketch layer, set algebra: how much do two corpus snapshots
+    OVERLAP, per segment — distinct 1996-customers vs distinct
+    1997-customers per order priority, answered entirely on k-mins
+    sketches (``kmv_sketch``/``kmv_set_ops``): the shuffle carries at
+    most k=64 minima per group per snapshot no matter how many billions
+    of orders feed it, and Jaccard/union/intersection come from the
+    MinHash collision identity + the (k-1)/sum(U) estimator — the cheap
+    pass that decides whether a cross-snapshot dedup join is worth
+    running.  HLL cannot answer this (its registers do not intersect)."""
+    from osm2geojson_lite_spark.pipeline import kmv_set_ops, kmv_sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    a = kmv_sketch(
+        orders.filter(F.year("o_orderdate") == 1996)
+              .select("o_orderpriority", "o_custkey"),
+        ["o_orderpriority"], "o_custkey", k=64)
+    b = kmv_sketch(
+        orders.filter(F.year("o_orderdate") == 1997)
+              .select("o_orderpriority", "o_custkey"),
+        ["o_orderpriority"], "o_custkey", k=64)
+    return kmv_set_ops(a, b, ["o_orderpriority"], k=64)
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch point queries: per-returnflag supplier frequencies
     from a 4x256 counter table over lineitem, probed for a fixed 40-key
@@ -2122,6 +2146,28 @@ def q_trip_stats(spark, sf_dir):
     return trip_stats(segment_trips(pts, gap_s=28800, bucket_s=86400))
 
 
+def q_track_clean(spark, sf_dir):
+    """GPS-cleaning layer: per-point speed + teleport flags over synthetic
+    home-plus-jitter pings where every 11th event is a 2-degree excursion
+    (the implausible jump `clean_track` exists to flag).  Bucketed
+    two-phase lag — no per-entity window; oracle = naive per-entity
+    window replay of the identical round(sqrt)/divide sequence."""
+    from osm2geojson_lite_spark.temporal import clean_track
+
+    ev = _read(spark, sf_dir, "events")
+    u, eid = F.col("user_id"), F.col("event_id")
+    jit_lon = (eid * F.lit(13) % F.lit(100)) / F.lit(1000.0) - F.lit(0.05)
+    jit_lat = (eid * F.lit(17) % F.lit(100)) / F.lit(1000.0) - F.lit(0.05)
+    exc = F.when(eid % 11 == 0, F.lit(2.0)).otherwise(F.lit(0.0))
+    pts = ev.select(
+        u.alias("entity"),
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("t"),
+        (_lon(u) + jit_lon + exc).alias("lon"),
+        (_lat(u) + jit_lat).alias("lat"),
+    )
+    return clean_track(pts, max_speed=1e-4, bucket_s=86400)
+
+
 def q_stay_points(spark, sf_dir):
     """Dwell detection over synthetic home-plus-jitter pings (every 7th
     event is a 2-degree excursion that breaks the run): maximal stay runs
@@ -2314,21 +2360,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # geo_radius, and osm_polytag_classify by its green r4 row on code
     # unchanged since round 1 plus the in-window osm_fixture_parity
     # byte-exact goldens exercising the same polygon-tag classification
-    # end to end — its seat went to the new colocate_pairs) so nothing
-    # is gate-blind if the cutoff recurs.
+    # end to end — its seat went to the new colocate_pairs, and
+    # osm_relation_geometry by its green r4 row on unchanged code plus
+    # the same in-window byte-exact fixture gate covering the relation.*
+    # fixtures end to end — its seat went to the new corpus_overlap) so
+    # nothing is gate-blind if the cutoff recurs.
     return {
         "graph_hops": q_graph_hops,
         "convex_hull": q_convex_hull,
         "corpus_split": q_corpus_split,
         "osm_fixture_parity": q_osm_fixture_parity,
         "poly_overlap": q_poly_overlap,
-        "osm_relation_geometry": q_osm_relation_geometry,
         "geo_radius": q_geo_radius,
         "hilbert_key": q_hilbert_key,
         "moran_i": q_moran_i,
         "tile_smooth": q_tile_smooth,
         "tile_distinct_hll": q_tile_distinct_hll,
         "cms_counts": q_cms_counts,
+        "corpus_overlap": q_corpus_overlap,
         "price_quantiles": q_price_quantiles,
         "pagerank": q_pagerank,
         "zonal_stats": q_zonal_stats,
@@ -2385,6 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "osm_props_merge": q_osm_props_merge,
         "osm_polytag_classify": q_osm_polytag_classify,
+        "osm_relation_geometry": q_osm_relation_geometry,
+        "track_clean": q_track_clean,
         "xml_events": q_xml_events,
         "media_decode": q_media_decode,
         "tpch_q3": q_tpch_q3,
@@ -3828,6 +3879,50 @@ def oracle_sql() -> dict[str, str]:
         # cms_counts: full replay of the count-min build + panel probe —
         # counters are exact integer algebra over the repo md5 hash, so
         # the register tables match bit-for-bit and min-over-rows is exact
+        # corpus_overlap: full replay of the k-mins sketch + set ops —
+        # minima are exact integers over the repo md5 hash; the union
+        # estimator folds the SORTED minima with per-term divide (bigint
+        # -> double conversion and /2^60 are IEEE-identical cross-engine),
+        # and jaccard/inter are the same fixed divide/multiply sequence
+        "corpus_overlap": """
+            with seeds as (select unnest(generate_series(0, 63)) i),
+            a as (
+              select o_orderpriority g, i,
+                     min((('0x' || substr(md5('kmv' || i::varchar || ':'
+                         || o_custkey::varchar), 1, 15))::bigint)) mn
+              from orders cross join seeds
+              where year(o_orderdate) = 1996
+              group by 1, 2
+            ),
+            b as (
+              select o_orderpriority g, i,
+                     min((('0x' || substr(md5('kmv' || i::varchar || ':'
+                         || o_custkey::varchar), 1, 15))::bigint)) mn
+              from orders cross join seeds
+              where year(o_orderdate) = 1997
+              group by 1, 2
+            ),
+            j as (
+              select a.g, a.i, a.mn ma, b.mn mb,
+                     least(a.mn, b.mn) mu
+              from a join b on a.g = b.g and a.i = b.i
+            ),
+            agg as (
+              select g, count(*)::int n_mins,
+                     sum(case when ma = mb then 1 else 0 end)::int n_match,
+                     list_reduce(list_prepend(0.0::double,
+                         list_transform(list_sort(list(mu)),
+                                        x -> x::double)),
+                         (acc, x) -> acc + x
+                             / 1152921504606846976.0) su
+              from j group by 1
+            )
+            select g o_orderpriority, n_mins, n_match,
+                   round(n_match::double / 64.0, 4) jaccard_est,
+                   round(63.0 / su, 4) union_est,
+                   round((n_match::double / 64.0) * (63.0 / su), 4) inter_est
+            from agg
+        """,
         "cms_counts": """
             with ds as (select unnest(generate_series(0, 3)) d),
             regs as (
@@ -5000,6 +5095,44 @@ def oracle_sql() -> dict[str, str]:
             select user_id, (sum(new_session) + 1)::bigint n_sessions,
                    count(*)::bigint n_events
             from gaps group by user_id
+        """,
+        # track_clean: naive per-entity lag-window replay of the bucketed
+        # two-phase kinematics — identical round(sqrt)/round(divide)
+        # sequence (bucket equivalence proven by tests/test_clean_track.py
+        # at three bucket widths)
+        "track_clean": f"""
+            with pts as (
+              select user_id entity, floor(epoch(ts))::bigint t,
+                     ({LON_SQL.format(k="user_id")})
+                       + ((event_id * 13 % 100) / 1000.0 - 0.05)
+                       + (case when event_id % 11 = 0
+                               then 2.0 else 0.0 end) lon,
+                     ({LAT_SQL.format(k="user_id")})
+                       + ((event_id * 17 % 100) / 1000.0 - 0.05) lat
+              from events
+            ),
+            lagd as (
+              select *, lag(t) over w pt, lag(lon) over w plon,
+                     lag(lat) over w plat
+              from pts window w as (partition by entity order by t, lon, lat)
+            ),
+            legs as (
+              select entity, t, lon, lat, (t - pt)::bigint dt_s,
+                     case when pt is not null
+                          then round(sqrt((lon-plon)*(lon-plon)
+                                          + (lat-plat)*(lat-plat)), 9)
+                     end leg
+              from lagd
+            ),
+            spd as (
+              select *, case when dt_s > 0
+                             then round(leg / dt_s::double, 9) end speed
+              from legs
+            )
+            select entity, t, lon, lat, dt_s, leg, speed,
+                   coalesce((dt_s = 0 and leg > 0) or speed > 0.0001,
+                            false) is_teleport
+            from spd
         """,
         # trajectory: naive-window replay of the bucketed segmentation —
         # lag over the full per-entity stream, gap split at 28800 s, sorted

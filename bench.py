@@ -41,11 +41,13 @@ BENCH_QUERIES = [
     "pip_diamonds",
     "zonal_stats",
     "tile_distinct_hll",
+    "corpus_overlap",
     "cms_counts",
     "price_quantiles",
     "embed_project",
     "geohash_keys",
     "trip_stats",
+    "track_clean",
     "od_matrix",
     "stay_points",
     "seg_intersect",

@@ -45,7 +45,8 @@ from .bfs import bfs_hops
 from .pagerank import pagerank
 from .sketch import (cms_merge, cms_query, cms_sketch,
                      hist_merge, hist_quantiles, hist_sketch,
-                     hll_estimate, hll_merge, hll_sketch)
+                     hll_estimate, hll_merge, hll_sketch,
+                     kmv_estimate, kmv_merge, kmv_set_ops, kmv_sketch)
 from .project import projection_signs, random_projection
 from .semdedup import semantic_dedup
 from .compose import clean_corpus
@@ -76,6 +77,10 @@ __all__ = [
     "hll_estimate",
     "hll_merge",
     "hll_sketch",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_set_ops",
+    "kmv_sketch",
     "decontaminate",
     "near_dup_clusters",
     "pii_scrub",

@@ -390,3 +390,146 @@ def ks_drift(reg_a: DataFrame, reg_b: DataFrame,
                 F.when((F.col("n_a") == 0) | (F.col("n_b") == 0),
                        F.lit(1.0)).otherwise(F.col("_ks")).alias("ks"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-mins distinct sketch with set algebra (Flajolet & Martin 1985;
+# Bar-Yossef et al. STOC 2002; Broder 1997 resemblance) — the SET-OPERATION
+# member of the sketch family: HLL answers "how many distinct", k-mins
+# additionally answers "how much do two sets OVERLAP" (union / intersection
+# / Jaccard between corpus snapshots, crawl batches, source partitions) —
+# the question a dedup-planning pass asks before paying for the real join.
+# HLL registers cannot intersect; k independent minima can.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, group_cols: Sequence[str], value_col: str, *,
+               k: int = 64, salt: str = "kmv") -> DataFrame:
+    """Build per-group k-mins registers: ``(group…, i, mn)`` for i in
+    [0, k) where ``mn`` is the group-wide minimum of the i-th salted
+    60-bit hash of the values.
+
+    Scale shape: the ONLY aggregate is ``min`` — associative, commutative,
+    idempotent — so the groupBy partially combines map-side and the
+    shuffle carries AT MOST ``k`` rows per group no matter how many
+    billions of values feed it; there is no candidate funnel at any
+    parallelism (the reason this is k-mins and not bottom-k: Spark SQL
+    has no partially-aggregable bottom-k, and a bottom-k built from
+    windows or collects funnels hot groups).  Cost knob: ``k`` md5
+    evaluations per input row (the `minhash_signatures` trade).
+
+    Every nonempty group emits exactly ``k`` rows (the seed explode is
+    unconditional), NULL values are ignored.  Relative standard error of
+    the distinct estimate is ``~1/sqrt(k - 2)``; Jaccard standard error
+    is ``~sqrt(J(1-J)/k)``.
+    """
+    rows = kmv_register_rows(df, group_cols, value_col, k=k, salt=salt)
+    return rows.groupBy(*group_cols, "i").agg(F.min("mn").alias("mn"))
+
+
+def kmv_register_rows(df: DataFrame, group_cols: Sequence[str],
+                      value_col: str, *, k: int = 64,
+                      salt: str = "kmv") -> DataFrame:
+    """Pre-aggregation register rows ``(group…, i, mn)`` — the map-side
+    half of ``kmv_sketch``, shared with the streaming face (which must
+    hand the final ``min`` to Structured Streaming's windowed agg)."""
+    if not 4 <= k <= 512:
+        raise ValueError(f"k must be in [4, 512], got {k}")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        *[F.col(g) for g in group_cols],
+        F.col(value_col).cast("string").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    )
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt), F.col("i").cast("string"), F.lit(":"), F.col("_v"))),
+        1, 15), 16, 10).cast("bigint")
+    return rows.select(*group_cols, "i", h.alias("mn"))
+
+
+def kmv_merge(registers: DataFrame,
+              group_cols: Sequence[str]) -> DataFrame:
+    """Merge sketches by register-wise ``min`` under a coarser grouping.
+
+    ``min`` is associative/commutative/idempotent, so the merged sketch
+    is IDENTICAL to the sketch built directly from the union of the
+    inputs — merging adds no approximation.  Same rollup contract as
+    ``hll_merge``: partials → global, daily → monthly, child → parent,
+    without rescanning raw data.
+    """
+    return registers.groupBy(*group_cols, "i").agg(F.min("mn").alias("mn"))
+
+
+def _fold_u(terms_col):
+    """Deterministic IEEE sum of ``mn / 2**60`` over a sorted register
+    list: int→double conversion is IEEE round-to-nearest (identical in
+    every engine), division by a power of two is exact scaling, and the
+    fold order is fixed by the sort — so the double is bit-identical at
+    any partitioning and in any IEEE-754 engine (the ``hll_estimate``
+    determinism contract)."""
+    return F.aggregate(
+        F.array_sort(terms_col), F.lit(0.0),
+        lambda acc, mn: acc + mn.cast("double") / F.lit(float(1 << 60)))
+
+
+def kmv_estimate(registers: DataFrame, group_cols: Sequence[str], *,
+                 k: int) -> DataFrame:
+    """Estimate per-group distinct counts from a k-mins register table.
+
+    Output: ``(group…, n_mins, mn_min, distinct_est)`` — ``n_mins``
+    (== k for any nonempty group) and ``mn_min`` (the global minimum,
+    an exact integer digest of the register state) plus the
+    ``(k-1) / sum_i(mn_i / 2**60)`` estimator (each minimum of n uniform
+    draws is ~Exp(n)/2**60, so the sum is ~Gamma(k, 1/n) and (k-1)/sum
+    is its unbiased inverse-mean), rounded to 4 dp.  The only float work
+    is the fixed-order fold in ``_fold_u`` — deterministic cross-engine.
+    """
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_mins"),
+        F.min("mn").alias("mn_min"),
+        _fold_u(F.collect_list("mn")).alias("_sum_u"),
+    )
+    return agg.select(
+        *group_cols, "n_mins", "mn_min",
+        F.round(F.lit(float(k - 1)) / F.col("_sum_u"), 4)
+         .alias("distinct_est"),
+    )
+
+
+def kmv_set_ops(reg_a: DataFrame, reg_b: DataFrame,
+                group_cols: Sequence[str], *, k: int) -> DataFrame:
+    """Set algebra between two sketch tables sharing ``group_cols``:
+    per group, estimates of |A ∪ B|, Jaccard(A, B), and |A ∩ B|.
+
+    - ``least(mn_a, mn_b)`` is register-wise the EXACT sketch of A ∪ B
+      (the ``kmv_merge`` identity), so ``union_est`` is the plain k-mins
+      estimator on it;
+    - ``P[min_i(A) == min_i(B)] = J`` exactly (the MinHash collision
+      identity, Broder 1997), so ``jaccard_est = n_match / k``;
+    - ``inter_est = jaccard_est × union_est`` (|A∩B| = J·|A∪B|).
+
+    One ``(group…, i)`` equi-join of two ≤k-rows-per-group tables — at
+    any corpus scale both sides are already sketches, so this is the
+    cheap pass that decides whether the expensive cross-snapshot dedup
+    join is worth running.  Groups present in only one input are dropped
+    (inner join): overlap with an absent side is undefined, not zero.
+    Output floats are the two estimator divides plus their product —
+    fixed IEEE sequence, deterministic cross-engine.
+    """
+    g = list(group_cols)
+    a = reg_a.select(*g, "i", F.col("mn").alias("_ma"))
+    b = reg_b.select(*g, "i", F.col("mn").alias("_mb"))
+    j = a.join(b, g + ["i"], "inner")
+    agg = j.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("int").alias("n_mins"),
+        F.sum(F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0))
+         .cast("int").alias("n_match"),
+        _fold_u(F.collect_list(F.least("_ma", "_mb"))).alias("_sum_u"),
+    )
+    union_est = F.lit(float(k - 1)) / F.col("_sum_u")
+    jaccard = F.col("n_match").cast("double") / F.lit(float(k))
+    return agg.select(
+        *g, "n_mins", "n_match",
+        F.round(jaccard, 4).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jaccard * union_est, 4).alias("inter_est"),
+    )

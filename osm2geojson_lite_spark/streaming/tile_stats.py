@@ -160,3 +160,56 @@ def stream_tile_distinct(spark: SparkSession, input_path: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tile_minima(spark: SparkSession, input_path: str,
+                       output_path: str, checkpoint_path: str, *,
+                       res: int = 8, k: int = 32, salt: str = "kmv",
+                       window: str = "10 minutes",
+                       watermark: str = "30 minutes",
+                       trigger_once: bool = True):
+    """Streaming k-mins sketch per (window, cell) — the continuous face
+    of ``pipeline.kmv_sketch``, the set-algebra companion to
+    ``stream_tile_distinct``: streamed minima tables support
+    ``kmv_set_ops`` across windows/tiles ("how many of this window's
+    visitors were also in the last one"), which HLL registers cannot.
+
+    Same shape argument as the HLL face: the batch sketch is one
+    map-side register expression + a ``min`` aggregation, and ``min`` is
+    exactly what the windowed state store supports — each (window, cell,
+    i) key holds ONE bigint, updated monotonically downward.  A
+    finalized window's register rows are byte-identical to
+    ``kmv_sketch`` of that window's events (pinned in tests), so
+    ``kmv_merge`` / ``kmv_estimate`` / ``kmv_set_ops`` treat streamed
+    and batch sketches interchangeably.
+
+    Output rows: (window_start, window_end, cell, i, mn) — the mergeable
+    register table, not a point estimate (registers compose, estimates
+    do not).
+    """
+    from ..pipeline.sketch import kmv_register_rows
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_path)
+    regs = kmv_register_rows(
+        stream.withWatermark("ts", watermark)
+        .withColumn("cell", cell_col(F.col("lon"), F.col("lat"), res)),
+        ["ts", "cell"], "event_id", k=k, salt=salt,
+    )
+    agg = (
+        regs.groupBy(F.window("ts", window).alias("w"), "cell", "i")
+        .agg(F.min("mn").alias("mn"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell", "i", "mn",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

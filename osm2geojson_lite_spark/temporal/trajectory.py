@@ -51,7 +51,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["segment_trips", "trip_stats", "od_matrix", "stay_points"]
+__all__ = ["clean_track", "segment_trips", "trip_stats", "od_matrix",
+           "stay_points"]
 
 
 def _dist(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
@@ -252,4 +253,85 @@ def od_matrix(trips: DataFrame, *, res: int = 8) -> DataFrame:
         )
         .groupBy("o_cell", "d_cell")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_trips"))
+    )
+
+
+def clean_track(pts: DataFrame, *, entity_col: str = "entity",
+                ts_col: str = "t", lon_col: str = "lon",
+                lat_col: str = "lat", max_speed: float,
+                bucket_s: int = 86400) -> DataFrame:
+    """Per-point kinematics + implausible-jump flags — the GPS-cleaning
+    pass a movement pipeline runs BEFORE trips/stays/OD: flag "teleports"
+    (speed from the time-predecessor exceeding ``max_speed`` units/s, or
+    a zero-time jump to a different place) so downstream ops can drop or
+    down-weight them.
+
+    Output: ``(entity, t, lon, lat, dt_s, leg, speed, is_teleport)`` —
+    ``dt_s`` exact integer seconds from the predecessor, ``leg`` the
+    planar distance (``round(sqrt, 9)``), ``speed = round(leg/dt_s, 9)``
+    (NULL when ``dt_s`` is 0 or on each entity's first point).  Flags are
+    AGAINST THE RAW PREDECESSOR by design: re-linking after a drop is a
+    sequential chain (each verdict depends on the previous one), which
+    neither distributes nor replays in SQL — callers wanting it iterate
+    ``clean_track`` + filter to a fixed point (2 passes catch the
+    overwhelmingly common lone-spike case).
+
+    Scale shape: the same two bounded phases as ``segment_trips`` — an
+    in-bucket lag window (bounded by ``bucket_s`` worth of points, never
+    a whole hot entity) plus the per-(entity, bucket) edge table whose
+    previous *nonempty* bucket's last point supplies each bucket-first
+    row's predecessor, broadcast back.  Output is IDENTICAL at any
+    ``bucket_s`` (pinned by tests).  Order within an entity is
+    ``(t, lon, lat)`` — deterministic under simultaneous pings.
+    """
+    if max_speed <= 0 or bucket_s <= 0:
+        raise ValueError("max_speed and bucket_s must be positive")
+    e, t = F.col(entity_col), F.col(ts_col).cast("long")
+    base = pts.select(
+        e.alias("entity"), t.alias("t"),
+        F.col(lon_col).cast("double").alias("lon"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.floor(t / F.lit(bucket_s)).alias("b"),
+    )
+
+    wl = Window.partitionBy("entity", "b").orderBy("t", "lon", "lat")
+    prev_t = F.lag("t").over(wl)
+    local = base.select(
+        "*",
+        prev_t.isNull().alias("is_bucket_first"),
+        (F.col("t") - prev_t).alias("local_dt"),
+        _dist(F.lag("lon").over(wl), F.lag("lat").over(wl),
+              F.col("lon"), F.col("lat")).alias("local_leg"),
+    )
+
+    edges = local.groupBy("entity", "b").agg(
+        F.min(F.struct("t", "lon", "lat")).alias("first_pt"),
+        F.max(F.struct("t", "lon", "lat")).alias("last_pt"),
+    )
+    we = Window.partitionBy("entity").orderBy("b")
+    prev_last = F.lag("last_pt").over(we)
+    edges = edges.select(
+        "entity", "b",
+        (F.col("first_pt.t") - prev_last["t"]).alias("cross_dt"),
+        F.when(prev_last.isNotNull(),
+               _dist(prev_last["lon"], prev_last["lat"],
+                     F.col("first_pt.lon"), F.col("first_pt.lat")))
+         .alias("cross_leg"),
+    )
+
+    out = local.join(F.broadcast(edges), ["entity", "b"])
+    dt = F.when(F.col("is_bucket_first"), F.col("cross_dt")) \
+          .otherwise(F.col("local_dt"))
+    leg = F.when(F.col("is_bucket_first"), F.col("cross_leg")) \
+           .otherwise(F.col("local_leg"))
+    speed = F.when(dt > 0, F.round(leg / dt.cast("double"), 9))
+    teleport = F.coalesce(
+        ((dt == 0) & (leg > 0)) | (speed > F.lit(float(max_speed))),
+        F.lit(False))
+    return out.select(
+        "entity", "t", "lon", "lat",
+        dt.cast("bigint").alias("dt_s"),
+        leg.alias("leg"),
+        speed.alias("speed"),
+        teleport.alias("is_teleport"),
     )

@@ -181,6 +181,14 @@ CHECKS = {
     # cap-bbox explode + ONE cell equi-join + JVM haversine refine; the
     # small exploded left side broadcasts, never a cross join
     "geo_radius": ["Generate", "!Python", "!CartesianProduct"],
+    # bucketed two-phase lag: bucket-local window + tiny per-bucket edge
+    # table broadcast back — never one window over a whole hot entity
+    "track_clean": ["Window", "BroadcastHashJoin", "!Python",
+                    "!CartesianProduct"],
+    # k-mins: seed explode + min groupBy (map-side combinable, <= k rows
+    # per group per snapshot cross the shuffle), one equi-join of two
+    # sketch tables, never raw data x raw data
+    "corpus_overlap": ["HashAggregate", "!CartesianProduct", "!Python"],
     # 4-state automaton as chained element_at on literal arrays — pure
     # map-side integer algebra over the scan, no shuffle, no Python
     "hilbert_key": ["ReadSchema", "!Exchange", "!Python",
