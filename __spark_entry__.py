@@ -1515,6 +1515,29 @@ def q_source_quota(spark, sf_dir):
     )
 
 
+def q_tile_sample(spark, sf_dir):
+    """Spatially-stratified sampling — the geo-balanced training-sample
+    primitive (cap every res-4 tile at 5 points so dense cities cannot
+    drown sparse regions): pure composition of the proven pieces,
+    ``quota_cap``'s prefiltered deterministic hash rank grouped by the
+    X1 cell key.  Same selection at any parallelism; oracle replays the
+    cell algebra + rank (prefilter equivalence proven by the quota_cap
+    pytest suite)."""
+    from osm2geojson_lite_spark.pipeline.sample import quota_cap
+    from osm2geojson_lite_spark.spatial.cells import cell_col
+
+    cust = _read(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        cell_col(_lon(F.col("c_custkey")), _lat(F.col("c_custkey")),
+                 4).alias("cell"),
+    )
+    return quota_cap(pts, "cell", 5, key="point_id").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("point_id").cast("bigint").alias("point_id"),
+    )
+
+
 def q_mixture_sample(spark, sf_dir):
     """Target-mixture selection (the training-mix primitive): quotas
     floor(56 * w/Σw) over weights {src0:4, src1:2, src2:1, src3:1} =
@@ -2436,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_polytag_classify": q_osm_polytag_classify,
         "osm_relation_geometry": q_osm_relation_geometry,
         "track_clean": q_track_clean,
+        "tile_sample": q_tile_sample,
         "xml_events": q_xml_events,
         "media_decode": q_media_decode,
         "tpch_q3": q_tpch_q3,
@@ -3031,6 +3055,23 @@ def oracle_sql() -> dict[str, str]:
             where ('0x' || substr(md5('0:' || doc_id::varchar), 1, 8))::bigint
                   < 1288490188
         """,
+        "tile_sample": """
+            with pts as (
+              select c_custkey point_id,
+                     {cell} cell
+              from customer
+            )
+            select cell, point_id::bigint point_id from (
+              select cell, point_id,
+                     row_number() over (
+                       partition by cell
+                       order by ('0x' || substr(md5('0:'
+                                 || point_id::varchar), 1, 8))::bigint asc,
+                                point_id asc
+                     ) rn
+              from pts
+            ) where rn <= 5
+        """.format(cell=_cell_sql(lon_c, lat_c, 4)),
         "source_quota": """
             select source, doc_id::bigint doc_id from (
               select source, doc_id,

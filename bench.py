@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "snap_points",
     "poly_overlap",
     "knn_cells",
+    "tile_sample",
     "cell_compact",
     "line_cells",
     "idw_surface",

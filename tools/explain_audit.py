@@ -181,6 +181,10 @@ CHECKS = {
     # cap-bbox explode + ONE cell equi-join + JVM haversine refine; the
     # small exploded left side broadcasts, never a cross join
     "geo_radius": ["Generate", "!Python", "!CartesianProduct"],
+    # quota_cap over the cell key: per-cell counts broadcast back, rank
+    # window only over prefilter survivors (~2*quota + slack per cell)
+    "tile_sample": ["BroadcastHashJoin", "Window", "!Python",
+                    "!CartesianProduct"],
     # bucketed two-phase lag: bucket-local window + tiny per-bucket edge
     # table broadcast back — never one window over a whole hot entity
     "track_clean": ["Window", "BroadcastHashJoin", "!Python",
