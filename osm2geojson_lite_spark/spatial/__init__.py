@@ -25,6 +25,7 @@ from .cells import (
 )
 from .dbscan import dbscan
 from .density import cell_density, kring_scatter_col, kring_smooth
+from .emerging import mann_kendall_trend
 from .geohash import GEOHASH_ALPHABET, geohash_col, py_geohash
 from .hotspot import getis_ord_gi, morans_i
 from .geomstats import (
@@ -63,6 +64,7 @@ __all__ = [
     "cell_density",
     "dbscan",
     "getis_ord_gi",
+    "mann_kendall_trend",
     "morans_i",
     "kring_scatter_col",
     "kring_smooth",
