@@ -8,9 +8,10 @@ scale-safe plans (bucketed two-phase scans, no unbounded per-key windows).
 """
 
 from .asof import asof_join, interval_join
+from .geofence import zone_transitions
 from .trajectory import (clean_track, od_matrix, segment_trips,
                          stay_points, trip_stats)
 
 __all__ = ["asof_join", "clean_track", "interval_join", "od_matrix",
            "segment_trips",
-           "stay_points", "trip_stats"]
+           "stay_points", "trip_stats", "zone_transitions"]
