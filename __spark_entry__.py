@@ -2390,6 +2390,34 @@ def q_geofence_transitions(spark, sf_dir):
     )
 
 
+def q_cheapest_path(spark, sf_dir):
+    """Weighted bounded-hop cheapest path (pipeline/bfs.py): lexicographic
+    (cost, hops) minimum from seeds {1,2,3} over the same deterministic
+    3-out-degree digraph as q_pagerank / q_graph_hops, with exact integer
+    weights w = 1 + (src*31 + dst*17) % 97, bounded at 6 hops.  The
+    oracle replays the recurrence as a depth-bounded recursive CTE
+    enumerating all <= 6-hop paths (out_degree^6 per seed — tiny) and
+    taking the packed min; the Spark side relaxes each NODE once per
+    improved frontier, never paths."""
+    from osm2geojson_lite_spark.pipeline.bfs import cheapest_path
+
+    cust = _read(spark, sf_dir, "customer")
+    n0 = cust.count()
+    k = F.col("c_custkey").cast("long")
+    parts = [cust.select(k.alias("src"),
+                         ((k * m) % F.lit(n0) + 1).alias("dst"))
+             for m in (7919, 104729, 31)]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") * 31 + F.col("dst") * 17) % 97).alias("w"),
+    )
+    seeds = spark.range(1, 4).select(F.col("id").alias("node"))
+    return cheapest_path(edges, seeds, max_hops=6).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("cost").cast("bigint").alias("cost"),
+        F.col("hops").cast("int").alias("hops"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: round 4's driver gate recorded rows for exactly the
     # FIRST 50 entries, leaving the then-last four (embed_clusters, tpch_q1,
@@ -2566,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "emerging_trend": q_emerging_trend,
         "geofence_transitions": q_geofence_transitions,
+        "cheapest_path": q_cheapest_path,
     }
 
 
@@ -3845,6 +3874,41 @@ def oracle_sql() -> dict[str, str]:
               where w.hops < 6
             )
             select node, min(hops)::int hops from walk group by node
+        """,
+        # cheapest_path: all <= 6-hop paths enumerated by a recursive CTE
+        # (bounded by out_degree^6 per seed), then the lexicographic
+        # (cost, hops) minimum taken as a packed-integer min (cost*1024 +
+        # hops; hops <= 6 < 1024 and costs are positive, so packing is
+        # order-preserving).  Gate equality proves the improved-frontier
+        # Bellman-Ford equals the exhaustive bounded recurrence.
+        "cheapest_path": """
+            with recursive cnt0 as (select count(*)::bigint n from customer),
+            e as (
+              select src, dst, 1 + ((src * 31 + dst * 17) % 97) w
+              from (
+                select distinct src, dst from (
+                  select c_custkey src, ((c_custkey * 7919) % n) + 1 dst
+                  from customer, cnt0
+                  union all
+                  select c_custkey, ((c_custkey * 104729) % n) + 1
+                  from customer, cnt0
+                  union all
+                  select c_custkey, ((c_custkey * 31) % n) + 1
+                  from customer, cnt0
+                ) t where src <> dst
+              )
+            ),
+            walk as (
+              select node::bigint node, 0::bigint c, 0 hops
+              from (values (1), (2), (3)) s(node)
+              union all
+              select e.dst, w.c + e.w, w.hops + 1
+              from walk w join e on e.src = w.node
+              where w.hops < 6
+            )
+            select node, min(c * 1024 + hops) // 1024 as "cost",
+                   (min(c * 1024 + hops) % 1024)::int hops
+            from walk group by node
         """,
         # geo_radius: brute-force cross join + identical haversine; pair
         # set only (trig is not correctly-rounded cross-engine, so the

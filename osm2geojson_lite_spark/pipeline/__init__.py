@@ -41,7 +41,7 @@ from .similarity import (
     sign_lsh_topk,
 )
 from .cluster import connected_components, near_dup_clusters
-from .bfs import bfs_hops
+from .bfs import bfs_hops, cheapest_path
 from .pagerank import pagerank
 from .sketch import (cms_merge, cms_query, cms_sketch,
                      hist_merge, hist_quantiles, hist_sketch,
@@ -70,6 +70,7 @@ __all__ = [
     "cms_sketch",
     "connected_components",
     "bfs_hops",
+    "cheapest_path",
     "pagerank",
     "hist_merge",
     "hist_quantiles",

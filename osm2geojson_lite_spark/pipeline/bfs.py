@@ -76,3 +76,85 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, *, src: str = "src",
     finally:
         e.unpersist()
     return visited
+
+
+def cheapest_path(edges: DataFrame, seeds: DataFrame, *, src: str = "src",
+                  dst: str = "dst", weight: str = "w", seed_col: str = "node",
+                  max_hops: int = 6, directed: bool = True) -> DataFrame:
+    """Weighted bounded-hop cheapest path — the cost-aware sibling of
+    ``bfs_hops``: ``(node, cost, hops)`` with ``cost`` the exact minimum
+    integer path cost from ANY seed over paths of at most ``max_hops``
+    edges, and ``hops`` the fewest edges among those min-cost paths
+    (lexicographic ``(cost, hops)`` optimum; seeds at ``(0, 0)``).
+    Unreachable-within-bound nodes are absent.
+
+    Distributed Bellman-Ford with an improved-only frontier (the SPFA
+    refinement): round i relaxes ONLY nodes whose best label changed in
+    round i-1 — after a few rounds the frontier collapses to the still-
+    settling fringe, never the whole visited set.  The edge list is
+    hash-partitioned on ``src`` once and persisted, so only the frontier
+    shuffles per round; candidate labels collapse through a map-side-
+    combinable ``min(struct(cost, hops))`` groupBy BEFORE touching the
+    best-label table, so a hot hub's fan-in never funnels raw path count
+    anywhere.  Each round's tables are ``localCheckpoint``ed to truncate
+    lineage, and the loop exits early on an empty frontier.
+
+    The hop bound makes the semantics total even with negative weights
+    (no negative-cycle divergence — every label is a <= max_hops-edge
+    path cost), exactly like the textbook bounded Bellman-Ford
+    recurrence the DuckDB oracle unrolls.  All labels are exact integers:
+    bit-identical at any parallelism.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0: {max_hops}")
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("src") != F.col("dst")))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), F.col("w")))
+    # parallel edges: only the cheapest can ever win a relaxation
+    e = (e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .repartition("src").persist())
+
+    frontier = (seeds.select(F.col(seed_col).cast("long").alias("node"))
+                .distinct()
+                .select("node", F.lit(0).cast("long").alias("cost"),
+                        F.lit(0).cast("int").alias("hops"))
+                .localCheckpoint(eager=True))
+    best = frontier
+    try:
+        for _ in range(max_hops):
+            cand = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select(F.col("dst").alias("node"),
+                        (F.col("cost") + F.col("w")).alias("cost"),
+                        (F.col("hops") + F.lit(1)).cast("int").alias("hops"))
+                .groupBy("node")
+                .agg(F.min(F.struct("cost", "hops")).alias("c"))
+                .select("node", F.col("c.cost").alias("cost"),
+                        F.col("c.hops").alias("hops"))
+            )
+            old = best.select("node", F.col("cost").alias("old_cost"),
+                              F.col("hops").alias("old_hops"))
+            improved = (
+                cand.join(old, "node", "left")
+                .filter(
+                    F.col("old_cost").isNull()
+                    | (F.struct(F.col("cost"), F.col("hops"))
+                       < F.struct(F.col("old_cost"), F.col("old_hops")))
+                )
+                .select("node", "cost", "hops")
+            )
+            frontier = improved.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+            best = (
+                best.join(frontier.select("node"), "node", "left_anti")
+                .union(frontier)
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+    return best
