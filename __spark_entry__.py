@@ -2418,6 +2418,33 @@ def q_cheapest_path(spark, sf_dir):
         F.col("hops").cast("int").alias("hops"))
 
 
+def q_knox_pairs(spark, sf_dir):
+    """Knox space-time interaction over every 3rd event on the dense
+    deterministic patch: eps_s = 0.35 planar degrees, eps_t = 1 hour.
+    Space pairs come from the cell-disk join, time pairs from the
+    3-label bucket covering, space-AND-time pairs from the colocation
+    join — the oracle brute-forces all C(n,2) pairs with the identical
+    dist2 / dt predicates and replays the two IEEE expressions, so gate
+    equality proves all three covering arguments at once."""
+    from osm2geojson_lite_spark.spatial import knox_statistic
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    lon = (F.col("event_id") * F.lit(7919) % F.lit(360)) / F.lit(100.0)
+    lat = (F.col("event_id") * F.lit(104729) % F.lit(180)) / F.lit(100.0)
+    pts = ev.select(F.col("event_id").alias("id"), lon.alias("lon"),
+                    lat.alias("lat"), epoch.alias("t"))
+    out = knox_statistic(pts, 0.35, 3600)
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("pairs").cast("bigint").alias("pairs"),
+        F.col("n_s").cast("bigint").alias("n_s"),
+        F.col("n_t").cast("bigint").alias("n_t"),
+        F.col("n_st").cast("bigint").alias("n_st"),
+        "expected", "knox_ratio",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: round 4's driver gate recorded rows for exactly the
     # FIRST 50 entries, leaving the then-last four (embed_clusters, tpch_q1,
@@ -2595,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_trend": q_emerging_trend,
         "geofence_transitions": q_geofence_transitions,
         "cheapest_path": q_cheapest_path,
+        "knox_pairs": q_knox_pairs,
     }
 
 
@@ -4516,6 +4544,43 @@ def oracle_sql() -> dict[str, str]:
                         when z < -1.959963984540054 then 'decreasing'
                         else 'none' end trend
             from stat
+        """,
+        # knox_pairs: brute-force replay over all C(n,2) pairs with the
+        # IDENTICAL dist2 / dt predicates (dx*dx + dy*dy <= 0.35*0.35,
+        # |dt| <= 3600 — same IEEE products, same literals), then the
+        # same two fixed IEEE sequences for expected / knox_ratio.  Gate
+        # equality proves the three covering joins count exactly-once.
+        "knox_pairs": """
+            with p as (
+              select event_id id, floor(epoch(ts))::bigint t,
+                     (event_id * 7919 % 360) / 100.0 lon,
+                     (event_id * 104729 % 180) / 100.0 lat
+              from events where event_id % 3 = 0
+            ),
+            g as (select count(*)::bigint n from p),
+            c as (
+              select
+                count(*) filter (
+                  (a.lon - b.lon) * (a.lon - b.lon)
+                  + (a.lat - b.lat) * (a.lat - b.lat) <= 0.35 * 0.35
+                )::bigint n_s,
+                count(*) filter (abs(a.t - b.t) <= 3600)::bigint n_t,
+                count(*) filter (
+                  (a.lon - b.lon) * (a.lon - b.lon)
+                  + (a.lat - b.lat) * (a.lat - b.lat) <= 0.35 * 0.35
+                  and abs(a.t - b.t) <= 3600
+                )::bigint n_st
+              from p a join p b on a.id < b.id
+            )
+            select n, (n * (n - 1) // 2)::bigint pairs, n_s, n_t, n_st,
+                   case when n * (n - 1) // 2 > 0 then round(
+                     (n_s::double * n_t::double)
+                     / ((n * (n - 1) // 2)::double), 9) end expected,
+                   case when n_s > 0 and n_t > 0 then round(
+                     n_st::double / ((n_s::double * n_t::double)
+                                     / ((n * (n - 1) // 2)::double)), 9) end
+                     knox_ratio
+            from g, c
         """,
         # geofence_transitions: labeling replayed as the same containment
         # join against the VALUES fence table, then a NAIVE per-entity

@@ -41,6 +41,7 @@ from .compact import compact_cells, uncompact_cells
 from .geodesic import geo_radius_join, geo_radius_res, haversine_km
 from .idw import idw_kernel, idw_surface
 from .knn import knn_join
+from .knox import knox_statistic
 from .line_cells import line_cells
 from .overlap import polygon_overlap_join, rings_overlap
 from .pip import pip_join, polygon_cover_cells
@@ -74,6 +75,7 @@ __all__ = [
     "ring_perimeter_col",
     "ring_signed_area_col",
     "knn_join",
+    "knox_statistic",
     "colocation_join",
     "pip_join",
     "polygon_overlap_join",
