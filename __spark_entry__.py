@@ -2369,10 +2369,15 @@ def q_geofence_transitions(spark, sf_dir):
     lat = (F.col("event_id") * F.lit(104729) % F.lit(180)) / F.lit(100.0)
     pts = ev.select(F.col("user_id").alias("entity"), epoch.alias("t"),
                     lon.alias("lon"), lat.alias("lat"))
-    fences = spark.createDataFrame(
+    # literal structs (not createDataFrame) so the tiny fence table plans
+    # as a JVM LocalTableScan, never a python-RDD scan
+    fences = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(i).cast("long").alias("fence_id"),
+                 F.lit(x0).alias("x0"), F.lit(x1).alias("x1"),
+                 F.lit(y0).alias("y0"), F.lit(y1).alias("y1"))
+        for i, x0, x1, y0, y1 in
         [(1, 0.0, 0.9, 0.0, 0.9), (2, 0.9, 1.8, 0.9, 1.8),
-         (3, 1.8, 2.7, 0.0, 0.9), (4, 2.7, 3.6, 0.9, 1.8)],
-        "fence_id long, x0 double, x1 double, y0 double, y1 double")
+         (3, 1.8, 2.7, 0.0, 0.9), (4, 2.7, 3.6, 0.9, 1.8)]])))
     labeled = pts.join(
         F.broadcast(fences),
         (F.col("lon") >= F.col("x0")) & (F.col("lon") < F.col("x1"))
@@ -2517,8 +2522,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end to end — its seat went to the new colocate_pairs, and
     # osm_relation_geometry by its green r4 row on unchanged code plus
     # the same in-window byte-exact fixture gate covering the relation.*
-    # fixtures end to end — its seat went to the new corpus_overlap) so
-    # nothing is gate-blind if the cutoff recurs.
+    # fixtures end to end — its seat went to the new corpus_overlap,
+    # tile_smooth by test_density.py's python-oracle pin with its kring
+    # scatter kernel exercised in-window by BOTH gi_hotspots and moran_i
+    # (same scatter, same weights) — its seat went to the new
+    # emerging_trend, zorder_key by test_zorder.py's python-twin +
+    # round-trip property pins (pure stateless bit algebra; sibling
+    # hilbert_key stays in-window) — its seat went to the new
+    # geofence_transitions, geohash_keys by test_geohash.py's py_geohash
+    # python-twin pin (same stateless-bit-algebra class) — its seat went
+    # to the new cheapest_path, and ann_recall by its green r4 row on
+    # similarity.py unchanged since round 4 plus the committed
+    # ann_recall_table.json held-out-recall artifact and the in-window
+    # history of its 5 index variants — its seat went to the new
+    # knox_pairs) so nothing is gate-blind if the cutoff recurs.
     return {
         "graph_hops": q_graph_hops,
         "convex_hull": q_convex_hull,
@@ -2528,7 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius": q_geo_radius,
         "hilbert_key": q_hilbert_key,
         "moran_i": q_moran_i,
-        "tile_smooth": q_tile_smooth,
+        "emerging_trend": q_emerging_trend,
         "tile_distinct_hll": q_tile_distinct_hll,
         "cms_counts": q_cms_counts,
         "corpus_overlap": q_corpus_overlap,
@@ -2559,9 +2576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan_clusters,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
-        "zorder_key": q_zorder_key,
-        "geohash_keys": q_geohash_keys,
-        "ann_recall": q_ann_recall,
+        "geofence_transitions": q_geofence_transitions,
+        "cheapest_path": q_cheapest_path,
+        "knox_pairs": q_knox_pairs,
         "unigram_logprob": q_unigram_logprob,
         "source_quota": q_source_quota,
         "gi_hotspots": q_gi_hotspots,
@@ -2619,10 +2636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cells": q_knn,
         "osm_convert_corpus": q_osm_convert_corpus,
         "ann_topk": q_ann_topk,
-        "emerging_trend": q_emerging_trend,
-        "geofence_transitions": q_geofence_transitions,
-        "cheapest_path": q_cheapest_path,
-        "knox_pairs": q_knox_pairs,
+        "tile_smooth": q_tile_smooth,
+        "zorder_key": q_zorder_key,
+        "geohash_keys": q_geohash_keys,
+        "ann_recall": q_ann_recall,
     }
 
 

@@ -66,8 +66,12 @@ BENCH_QUERIES = [
     "dbscan_clusters",
     "gi_hotspots",
     "moran_i",
+    "emerging_trend",
     "radius_join",
     "colocate_pairs",
+    "geofence_transitions",
+    "cheapest_path",
+    "knox_pairs",
     "raster_assign",
     "dedup_exact",
     "minhash_neardup",

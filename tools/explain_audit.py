@@ -207,6 +207,23 @@ CHECKS = {
     # ONE composite (cell, bucket) equi-join after the two covering
     # explodes — never a cross join, no dedup shuffle after the refine
     "colocate_pairs": ["Generate", "!Python", "!CartesianProduct"],
+    # one groupBy(cell) shuffle builds the series map; the global frame
+    # is ONE broadcast row crossJoined back; densify + S + ties are
+    # per-row array HOFs (no Python, no second shuffle)
+    "emerging_trend": ["HashAggregate", "BroadcastNestedLoopJoin",
+                       "!Python"],
+    # bucket-local lag window + tiny per-entity edge table broadcast
+    # back (the clean_track shape); fence labeling is a broadcast join
+    "geofence_transitions": ["Window", "BroadcastHashJoin", "!Python",
+                             "!CartesianProduct"],
+    # every round's best table is localCheckpointed, so the final plan
+    # is a scan of the materialized labels — the improved-frontier join
+    # + min(struct) partial-agg shape is pinned by tests, not here
+    "cheapest_path": ["!Python", "!CartesianProduct"],
+    # three bucketed pair equi-joins each collapsed to ONE count by
+    # partial+final aggs; single-row stats crossJoined (1-row BNLJ ok)
+    "knox_pairs": ["Generate", "HashAggregate", "!Python",
+                   "!CartesianProduct"],
 }
 
 
