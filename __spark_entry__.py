@@ -6,7 +6,7 @@ full conversion pipeline -> GeoJSON per document.
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
 SURVEY.md §2 (+ §2.8 extensions and the training-pipeline ops).  Every
 hash/coordinate derivation is md5- or rational-arithmetic-based so the
-DuckDB oracle reproduces values bit-for-bit.  All 46 queries carry an
+DuckDB oracle reproduces values bit-for-bit.  All 103 queries carry an
 oracle: ``osm_convert_corpus`` pins against a committed golden
 ``(doc_id, n_features, geojson_md5)`` table for the seed-42 corpus
 (tests/golden/, regenerated only via tools/gen_convert_golden.py);
