@@ -6,7 +6,7 @@ full conversion pipeline -> GeoJSON per document.
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
 SURVEY.md §2 (+ §2.8 extensions and the training-pipeline ops).  Every
 hash/coordinate derivation is md5- or rational-arithmetic-based so the
-DuckDB oracle reproduces values bit-for-bit.  All 103 queries carry an
+DuckDB oracle reproduces values bit-for-bit.  All 104 queries carry an
 oracle: ``osm_convert_corpus`` pins against a committed golden
 ``(doc_id, n_features, geojson_md5)`` table for the seed-42 corpus
 (tests/golden/, regenerated only via tools/gen_convert_golden.py);
@@ -2450,6 +2450,62 @@ def q_knox_pairs(spark, sf_dir):
     )
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """The emerging-hotspot capstone COMPOSITION (no new operator code):
+    Getis-Ord Gi* over month-total density crossed with the per-cell
+    Mann-Kendall trend, classified into the simplified ArcGIS taxonomy —
+    intensifying / persistent / diminishing (hot now, by trend sign),
+    emerging (not hot yet but rising), none.  The `emerging_trend` patch
+    and keep-filter plus two always-kept dense strips (one per trend
+    half, one cell column wide) so genuinely HOT cells exist and the hot
+    taxonomy branches fire; one inner join on the cell key (both frames
+    are exactly the occupied cells).  Every CASE input is an
+    already-gated value (gi and z are the proven IEEE sequences), so the
+    category column is deterministic cross-engine."""
+    from osm2geojson_lite_spark.spatial import (
+        cell_col, cell_density, getis_ord_gi, mann_kendall_trend)
+
+    ev = _read(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    day = F.dayofmonth("ts")
+    lon = (F.col("event_id") * F.lit(7919) % F.lit(360)) / F.lit(100.0)
+    lat = (F.col("event_id") * F.lit(104729) % F.lit(180)) / F.lit(100.0)
+    in_strip = ((lon >= F.lit(0.9)) & (lon < F.lit(1.26))) \
+        | ((lon >= F.lit(2.7)) & (lon < F.lit(3.06)))
+    keep = (
+        in_strip
+        | ((lon < F.lit(1.8)) & (F.col("event_id") % 60 < day * 2))
+        | ((lon >= F.lit(1.8)) & (F.col("event_id") % 60 < F.lit(62) - day * 2))
+    )
+    pts = ev.filter(keep).select(
+        lon.alias("lon"), lat.alias("lat"),
+        F.floor(epoch / F.lit(86400)).alias("b"),
+    )
+    gi = getis_ord_gi(cell_density(pts, 10), 10, ring=1)
+    series = pts.select(cell_col(F.col("lon"), F.col("lat"), 10).alias("cell"),
+                        "b").groupBy("cell", "b") \
+        .agg(F.count(F.lit(1)).alias("x"))
+    mk = mann_kendall_trend(series).select(
+        "cell", "s_stat", "z", "trend")
+    crit = F.lit(1.959963984540054)
+    hot = F.col("gi") > crit
+    category = (
+        F.when(hot & (F.col("trend") == "increasing"), F.lit("intensifying"))
+        .when(hot & (F.col("trend") == "decreasing"), F.lit("diminishing"))
+        .when(hot, F.lit("persistent"))
+        .when(F.col("trend") == "increasing", F.lit("emerging"))
+        .otherwise(F.lit("none"))
+    )
+    return gi.join(mk, "cell").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("x").cast("bigint").alias("x"),
+        "gi",
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        "z", "trend",
+        category.alias("category"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: round 4's driver gate recorded rows for exactly the
     # FIRST 50 entries, leaving the then-last four (embed_clusters, tpch_q1,
@@ -2535,7 +2591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # similarity.py unchanged since round 4 plus the committed
     # ann_recall_table.json held-out-recall artifact and the in-window
     # history of its 5 index variants — its seat went to the new
-    # knox_pairs) so nothing is gate-blind if the cutoff recurs.
+    # knox_pairs, and cms_counts by test_sketch.py's python
+    # register-level oracle + width/depth-bound pins with its green local
+    # sweep row on unchanged code (sketch siblings price_quantiles and
+    # tile_distinct_hll stay in-window) — its seat went to the new
+    # emerging_hotspots composition) so nothing is gate-blind if the
+    # cutoff recurs.
     return {
         "graph_hops": q_graph_hops,
         "convex_hull": q_convex_hull,
@@ -2547,7 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_i": q_moran_i,
         "emerging_trend": q_emerging_trend,
         "tile_distinct_hll": q_tile_distinct_hll,
-        "cms_counts": q_cms_counts,
+        "emerging_hotspots": q_emerging_hotspots,
         "corpus_overlap": q_corpus_overlap,
         "price_quantiles": q_price_quantiles,
         "pagerank": q_pagerank,
@@ -2640,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "geohash_keys": q_geohash_keys,
         "ann_recall": q_ann_recall,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -4638,6 +4700,109 @@ def oracle_sql() -> dict[str, str]:
             where (prev_zone is null and zn is not null)
                or (prev_zone is not null and zn is null)
                or (prev_zone is distinct from zn)
+        """,
+        # emerging_hotspots: the gi_hotspots scatter replay at res 10 over
+        # the emerging_trend point synth, joined to the emerging_trend MK
+        # replay on the cell key, then the same CASE taxonomy — every
+        # branch input is one of the two already-proven IEEE values.
+        "emerging_hotspots": f"""
+            with pts as (
+              select {_cell_sql("(event_id * 7919 % 360) / 100.0",
+                                "(event_id * 104729 % 180) / 100.0", 10)} cell,
+                     (floor(epoch(ts))::bigint // 86400) b
+              from events
+              where ((event_id * 7919 % 360) / 100.0 >= 0.9
+                     and (event_id * 7919 % 360) / 100.0 < 1.26)
+                 or ((event_id * 7919 % 360) / 100.0 >= 2.7
+                     and (event_id * 7919 % 360) / 100.0 < 3.06)
+                 or case when (event_id * 7919 % 360) / 100.0 < 1.8
+                         then event_id % 60 < day(ts) * 2
+                         else event_id % 60 < 62 - day(ts) * 2 end
+            ),
+            dens as (select cell, count(*) v from pts group by 1),
+            xy as (
+              select ((cell % {1 << 56}) // {1 << 28}) cx, (cell % {1 << 28}) cy, v
+              from dens
+            ),
+            scat as (
+              select (10::bigint * {1 << 56}
+                      + (((cx + dx.d) % 1024 + 1024) % 1024) * {1 << 28}
+                      + (cy + dy.d)) cell,
+                     v
+              from xy,
+                   (values (-1), (0), (1)) dx(d),
+                   (values (-1), (0), (1)) dy(d)
+              where cy + dy.d >= 0 and cy + dy.d < 1024
+            ),
+            nbr as (select cell, sum(v) s_i, count(*) w_i from scat group by 1),
+            gstats as (select count(*) n, sum(v) sx, sum(v * v) sxx from dens),
+            gi as (
+              select d.cell, d.v x,
+                     case when s.n > 1
+                           and sqrt((s.n * s.sxx - s.sx * s.sx)::double
+                                    * (s.n * nb.w_i - nb.w_i * nb.w_i)::double
+                                    / (s.n - 1)::double) > 0
+                          then (s.n * nb.s_i - s.sx * nb.w_i)::double
+                               / sqrt((s.n * s.sxx - s.sx * s.sx)::double
+                                      * (s.n * nb.w_i - nb.w_i * nb.w_i)::double
+                                      / (s.n - 1)::double)
+                          end gi
+              from dens d join nbr nb on nb.cell = d.cell cross join gstats s
+            ),
+            mkpts as (select cell, b, count(*)::bigint x from pts group by 1, 2),
+            frame as (select min(b) b0, max(b) b1 from mkpts),
+            cells as (select cell from mkpts group by 1),
+            dense as (
+              select g.cell, g.b, coalesce(p.x, 0)::bigint x
+              from (select cell, unnest(generate_series(b0, b1)) b
+                    from cells cross join frame) g
+              left join mkpts p on p.cell = g.cell and p.b = g.b
+            ),
+            s as (
+              select d1.cell,
+                     sum(case when d2.x > d1.x then 1
+                              when d2.x < d1.x then -1 else 0 end)::bigint s_stat
+              from dense d1 join dense d2 on d1.cell = d2.cell and d1.b < d2.b
+              group by 1
+            ),
+            ties as (
+              select cell, sum(t * (t - 1) * (2 * t + 5))::bigint tie
+              from (select cell, x, count(*)::bigint t from dense group by 1, 2)
+              group by 1
+            ),
+            nb2 as (select cell, count(*)::bigint n from dense group by 1),
+            mk as (
+              select nb2.cell, s.s_stat,
+                     nb2.n * (nb2.n - 1) * (2 * nb2.n + 5) - t.tie var18
+              from nb2 join ties t using (cell) join s using (cell)
+            ),
+            mkz as (
+              select cell, s_stat,
+                     case when s_stat = 0 then 0.0
+                          when var18 > 0 then round(
+                            (s_stat - (case when s_stat > 0 then 1
+                                            when s_stat < 0 then -1
+                                            else 0 end))::double
+                            / sqrt(var18::double / 18.0), 9) end z
+              from mk
+            ),
+            mkt as (
+              select cell, s_stat, z,
+                     case when z > 1.959963984540054 then 'increasing'
+                          when z < -1.959963984540054 then 'decreasing'
+                          else 'none' end trend
+              from mkz
+            )
+            select g.cell::bigint cell, g.x::bigint x, g.gi,
+                   m.s_stat::bigint s_stat, m.z, m.trend,
+                   case when g.gi > 1.959963984540054 and m.trend = 'increasing'
+                          then 'intensifying'
+                        when g.gi > 1.959963984540054 and m.trend = 'decreasing'
+                          then 'diminishing'
+                        when g.gi > 1.959963984540054 then 'persistent'
+                        when m.trend = 'increasing' then 'emerging'
+                        else 'none' end category
+            from gi g join mkt m using (cell)
         """,
         # seg_intersect: naive all-pairs replay of the cell-cover +
         # reference-point-dedup join — identical orientation sign test and

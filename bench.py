@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "gi_hotspots",
     "moran_i",
     "emerging_trend",
+    "emerging_hotspots",
     "radius_join",
     "colocate_pairs",
     "geofence_transitions",

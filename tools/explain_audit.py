@@ -212,6 +212,11 @@ CHECKS = {
     # per-row array HOFs (no Python, no second shuffle)
     "emerging_trend": ["HashAggregate", "BroadcastNestedLoopJoin",
                        "!Python"],
+    # the Gi* scatter + MK composition joined on the cell key: both
+    # halves are aggs over the same scan, classification is a map-side
+    # CASE — no Python, no cross join beyond the 1-row moments BNLJ
+    "emerging_hotspots": ["Generate", "HashAggregate", "!Python",
+                          "!CartesianProduct"],
     # bucket-local lag window + tiny per-entity edge table broadcast
     # back (the clean_track shape); fence labeling is a broadcast join
     "geofence_transitions": ["Window", "BroadcastHashJoin", "!Python",
