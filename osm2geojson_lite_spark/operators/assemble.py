@@ -310,42 +310,121 @@ def assemble_relation(rels: dict, root: int) -> list[dict]:
 
 
 def relation_kernel(pdf):
-    """applyInPandas body: one (doc_id, root_inst) group -> feature rows."""
+    """Kernel body over one or more complete (doc_id, root_inst) groups.
+
+    One vectorized sort by (doc_id, root_inst, rel_inst, m_p) replaces the
+    former nested ``pandas.groupby`` + per-subgroup ``sort_values`` (the
+    per-group pandas machinery dominated the stage); a single plain-Python
+    sweep over the column arrays then builds each group's ``rels`` catalog.
+    Group/sub-group iteration order only feeds dict *insertion* (lookups are
+    by key) and member rows stay in ``m_p`` order exactly as before, so the
+    emitted feature rows are byte-identical to the per-group formulation.
+    """
     import pandas as pd
 
-    rows: list[dict] = []
-    for (doc_id, root_inst), g in pdf.groupby(["doc_id", "root_inst"], sort=False):
-        out_pos = int(g["out_pos"].iloc[0])
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame({k: [] for k in _FEATURE_COLS})
+    pdf = pdf.sort_values(["doc_id", "root_inst", "rel_inst", "m_p"],
+                          kind="stable")
+    doc_a = pdf["doc_id"].to_numpy()
+    root_a = pdf["root_inst"].to_numpy()
+    rel_a = pdf["rel_inst"].to_numpy()
+    out_pos_a = pdf["out_pos"].to_numpy()
+    mtype_a = pdf["m_mtype"].to_numpy()
+    coords_a = pdf["coords_json"].to_numpy()
+    child_a = pdf["child_inst"].to_numpy()
+    ncomp_a = pdf["node_comp"].to_numpy()
+    nprops_a = pdf["node_props_json"].to_numpy()
+    ntags_a = pdf["node_tags_json"].to_numpy()
+    nlon_a = pdf["node_lon"].to_numpy()
+    nlat_a = pdf["node_lat"].to_numpy()
+    comp_a = pdf["composite"].to_numpy()
+    props_a = pdf["props_json"].to_numpy()
+    tags_a = pdf["tags_json"].to_numpy()
+    roles_a = pdf["roles_json"].to_numpy()
+    bounds_a = pdf["bounds_json"].to_numpy()
+
+    out: dict[str, list] = {k: [] for k in _FEATURE_COLS}
+    i = 0
+    while i < n:
+        d0 = doc_a[i]
+        r0 = root_a[i]
         rels: dict[int, dict] = {}
-        for rel_inst, rg in g.groupby("rel_inst", sort=False):
-            r0 = rg.iloc[0]
-            entry = {
-                "composite": r0["composite"],
-                "props_json": r0["props_json"],
-                "tags_json": r0["tags_json"],
-                "roles": json.loads(r0["roles_json"]) if r0["roles_json"] else [],
-                "bounds": json.loads(r0["bounds_json"]) if r0["bounds_json"] else None,
-                "ways": [],
-                "subs": [],
-                "nodes": [],
-            }
-            for row in rg.sort_values("m_p").itertuples():
-                if row.m_mtype == "way":
-                    entry["ways"].append(
-                        json.loads(row.coords_json) if isinstance(row.coords_json, str) else []
-                    )
-                elif row.m_mtype == "relation":
-                    entry["subs"].append(
-                        int(row.child_inst) if row.child_inst == row.child_inst else None
-                    )
-                elif row.m_mtype == "node":
-                    entry["nodes"].append(
-                        (row.node_comp, row.node_props_json, row.node_tags_json,
-                         row.node_lon, row.node_lat)
-                    )
-            rels[int(rel_inst)] = entry
+        j = i
+        while j < n and doc_a[j] == d0 and root_a[j] == r0:
+            ri = int(rel_a[j])
+            entry = rels.get(ri)
+            if entry is None:
+                rj = roles_a[j]
+                bj = bounds_a[j]
+                entry = {
+                    "composite": comp_a[j],
+                    "props_json": props_a[j],
+                    "tags_json": tags_a[j],
+                    "roles": json.loads(rj) if rj else [],
+                    "bounds": json.loads(bj) if bj else None,
+                    "ways": [],
+                    "subs": [],
+                    "nodes": [],
+                }
+                rels[ri] = entry
+            mt = mtype_a[j]
+            if mt == "way":
+                cj = coords_a[j]
+                entry["ways"].append(
+                    json.loads(cj) if isinstance(cj, str) else [])
+            elif mt == "relation":
+                ci = child_a[j]
+                entry["subs"].append(int(ci) if ci == ci else None)
+            elif mt == "node":
+                entry["nodes"].append(
+                    (ncomp_a[j], nprops_a[j], ntags_a[j], nlon_a[j], nlat_a[j]))
+            j += 1
 
-        for sub_seq, feature in enumerate(assemble_relation(rels, int(root_inst))):
-            rows.append(_feature_row(doc_id, out_pos, sub_seq, feature))
+        out_pos = int(out_pos_a[i])
+        for sub_seq, feature in enumerate(assemble_relation(rels, int(r0))):
+            geom = feature.get("geometry")
+            out["doc_id"].append(d0)
+            out["out_pos"].append(out_pos)
+            out["sub_seq"].append(sub_seq)
+            out["feature_id"].append(feature.get("id"))
+            out["geom_type"].append(geom["type"] if geom else None)
+            out["feature_json"].append(canonical_json(feature))
+            out["geometry_json"].append(canonical_json(geom))
+        i = j
 
-    return pd.DataFrame(rows, columns=_FEATURE_COLS)
+    return pd.DataFrame(out, columns=_FEATURE_COLS)
+
+
+def relation_kernel_stream(batches):
+    """``mapInPandas`` body over a partition hash-partitioned AND sorted by
+    (doc_id, root_inst): groups are contiguous within the partition, so every
+    Arrow batch holds complete groups except possibly its last, which is
+    carried into the next batch.  Same per-group results as
+    :func:`relation_kernel` at ~1 Python call per Arrow batch instead of one
+    per group (the former ``applyInPandas`` paid call + pandas-frame overhead
+    per tiny group).  Memory: one group buffered across batch boundaries at
+    most — bounded by ``Options.max_relation_group_rows``."""
+    import pandas as pd
+
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        carry = None
+        n = len(pdf)
+        if n == 0:
+            continue
+        doc_a = pdf["doc_id"].to_numpy()
+        root_a = pdf["root_inst"].to_numpy()
+        last_doc = doc_a[n - 1]
+        last_root = root_a[n - 1]
+        i = n - 1
+        while i > 0 and doc_a[i - 1] == last_doc and root_a[i - 1] == last_root:
+            i -= 1
+        carry = pdf.iloc[i:]
+        if i > 0:
+            yield relation_kernel(pdf.iloc[:i])
+    if carry is not None and len(carry):
+        yield relation_kernel(carry)

@@ -18,7 +18,12 @@ import sys
 
 def read_lines(path: str):
     if os.path.isdir(path):
-        cands = [os.path.join(path, f) for f in os.listdir(path) if f.startswith("events")]
+        # Spark 4 rolling logs live in an eventlog_v2_<app> subdirectory;
+        # recurse until a file whose name starts with "events" is found.
+        cands = []
+        for root, _dirs, files in os.walk(path):
+            cands.extend(os.path.join(root, f) for f in files
+                         if f.startswith("events"))
         path = sorted(cands)[-1]
     if path.endswith(".zstd"):
         out = subprocess.run(["unzstd", "-c", path], capture_output=True, text=True)
