@@ -15,13 +15,18 @@ composing the proven pair machinery: ``colocation_join`` (one
 ``radius_join`` (cell-disk equi-join) the space pairs, and the same
 3-label bucket covering the time pairs — never a cross join anywhere.
 
-Scale shape: three bucketed self-joins, each collapsed to ONE count by a
-partially-aggregated ``agg(count)`` — pair streams live only inside
-executors, nothing is materialized or collected.  ``salt`` passes
-through to both spatial joins for hot-cell scatter.  Exactly-once pair
-counting needs no dedup shuffle: each join emits every ORDERED pair once
-(the covering arguments in `colocate.py` / `range_join.py`), and the
-strict ``left_id < right_id`` filter keeps exactly one direction.
+Scale shape: the space-AND-time leg is one bucketed self-join collapsed
+to a count; the space-only and time-only legs pre-aggregate to
+distinct-location / distinct-timestamp COUNT tables and pair those, so
+their join inputs are |distinct (lon,lat)| and |distinct t| rows rather
+than n — the exact counts come out of product/choose sums (event ids
+are unique, so unordered event pairs = Σ c·c' + Σ C(c,2)).  Pair
+streams live only inside executors, nothing is materialized or
+collected.  ``salt`` passes through to both spatial joins for hot-cell
+scatter.  Exactly-once pair counting needs no dedup shuffle: each join
+emits every ORDERED pair once (the covering arguments in `colocate.py`
+/ `range_join.py`), and a strict ``<`` on the id / packed location
+struct / timestamp keeps exactly one direction.
 
 Determinism: all four counts are exact integers; ``expected`` and
 ``knox_ratio`` are fixed short IEEE sequences over them (multiply,
@@ -73,31 +78,69 @@ def knox_statistic(pts: DataFrame, eps_s: float, eps_t: int, *,
         .agg(F.count(F.lit(1)).alias("n_st"))
     )
 
-    s_row = (
-        radius_join(base, base, eps_s, left_id="id", right_id="id",
+    # space pairs: the SAME exact count, computed over the distinct-
+    # location count table instead of one row per event.  Every event id
+    # is unique, so the number of unordered event pairs within eps_s is
+    #   n_s = Σ c·c' over unordered distinct-location pairs within eps_s
+    #       + Σ C(c,2) over locations (same-point pairs, dist 0)
+    # and the pair join's input shrinks from n rows to |distinct
+    # (lon,lat)| rows — event corpora pile thousands of events onto few
+    # snapped coordinates, and at 100x scale the event-level self-join is
+    # quadratic per hot cell while the location table saturates.  The
+    # location struct packs its count so the strict `<` keeps exactly one
+    # direction per pair (lexicographic on (lon, lat); distinct, so the
+    # count field never breaks a tie).  The same-location leg guards with
+    # the self-distance predicate so NaN/Inf coordinates stay excluded
+    # exactly as the event-level dist2 filter excluded them.
+    eps2 = F.lit(float(eps_s)) * F.lit(float(eps_s))
+    loc = (base.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+           .groupBy("lon", "lat").agg(F.count(F.lit(1)).alias("c")))
+    loc_k = loc.select(F.struct("lon", "lat", "c").alias("k"), "lon", "lat")
+    s_cross = (
+        radius_join(loc_k, loc_k, eps_s, left_id="k", right_id="k",
                     res=res, salt=salt)
         .filter(F.col("left_id") < F.col("right_id"))
-        .agg(F.count(F.lit(1)).alias("n_s"))
+        .agg(F.sum(F.col("left_id")["c"] * F.col("right_id")["c"]).alias("sx"))
     )
+    self_d2 = ((F.col("lon") - F.col("lon")) * (F.col("lon") - F.col("lon"))
+               + (F.col("lat") - F.col("lat")) * (F.col("lat") - F.col("lat")))
+    s_diag = (
+        loc.filter(self_d2 <= eps2)
+        .agg(F.sum(F.shiftright(F.col("c") * (F.col("c") - 1), 1)).alias("sy"))
+    )
+    s_row = s_cross.crossJoin(s_diag).select(
+        (F.coalesce(F.col("sx"), F.lit(0))
+         + F.coalesce(F.col("sy"), F.lit(0))).alias("n_s"))
 
-    # time pairs: |dt| <= eps_t via the interval_join 3-label covering —
-    # each right row sits in ONE bucket, each left row posts 3 distinct
-    # labels, so every qualifying ordered pair joins exactly once.
+    # time pairs: |dt| <= eps_t via the interval_join 3-label covering,
+    # applied to the per-distinct-timestamp COUNT table — n_t = Σ c_t·c_t'
+    # over t < t' with t'-t <= tau, plus Σ C(c_t,2) same-timestamp pairs.
+    # Identical to the event-level bucket join (event ids are unique, so
+    # unordered event pairs = the product/choose sums), but the join input
+    # is |distinct t| rows: the event-level form funneled one τ-window's
+    # events worldwide through a single bucket key (no spatial component
+    # to spread it), a per-bucket quadratic at scale.
     tau = int(eps_t)
-    bkt = F.floor(F.col("t") / F.lit(tau))
-    lt = base.select(F.col("id").alias("lid"), F.col("t").alias("lt")) \
+    cnt_t = (base.filter(F.col("t").isNotNull())
+             .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    lt = cnt_t.select(F.col("t").alias("lt"), F.col("c").alias("lc")) \
         .withColumn("bkt", F.explode(F.array(
             F.floor(F.col("lt") / F.lit(tau)) - 1,
             F.floor(F.col("lt") / F.lit(tau)),
             F.floor(F.col("lt") / F.lit(tau)) + 1)))
-    rt = base.select(F.col("id").alias("rid"), F.col("t").alias("rt"),
-                     bkt.alias("bkt"))
-    t_row = (
+    rt = cnt_t.select(F.col("t").alias("rt"), F.col("c").alias("rc"),
+                      F.floor(F.col("t") / F.lit(tau)).alias("bkt"))
+    t_cross = (
         lt.join(rt, "bkt")
-        .filter((F.abs(F.col("lt") - F.col("rt")) <= F.lit(tau))
-                & (F.col("lid") < F.col("rid")))
-        .agg(F.count(F.lit(1)).alias("n_t"))
+        .filter((F.col("rt") > F.col("lt"))
+                & (F.col("rt") - F.col("lt") <= F.lit(tau)))
+        .agg(F.sum(F.col("lc") * F.col("rc")).alias("tx"))
     )
+    t_diag = cnt_t.agg(
+        F.sum(F.shiftright(F.col("c") * (F.col("c") - 1), 1)).alias("ty"))
+    t_row = t_cross.crossJoin(t_diag).select(
+        (F.coalesce(F.col("tx"), F.lit(0))
+         + F.coalesce(F.col("ty"), F.lit(0))).alias("n_t"))
 
     g = (n_row.crossJoin(st_row).crossJoin(s_row).crossJoin(t_row))
     n = F.col("n").cast("long")

@@ -73,6 +73,41 @@ def test_planted_spacetime_clusters_push_ratio_up(spark):
     assert got["knox_ratio"] > 2.0  # bursts are real space-time interaction
 
 
+def test_hot_window_duplicate_timestamps_and_locations(spark):
+    """The r6 count-table legs: thousands of events share ONE tau-window
+    and a handful of exact coordinates, so the pair joins see |distinct t|
+    / |distinct location| rows, not n — and the counts still match the
+    naive all-pairs oracle exactly (the product/choose-sum identity)."""
+    rng = random.Random(7)
+    # 400 events, only 12 distinct timestamps inside one tau=3600 window,
+    # only 6 distinct snapped coordinates: heavy duplication on both keys.
+    times = [rng.randrange(0, 3000) for _ in range(12)]
+    locs = [(round(rng.uniform(0, 1), 2), round(rng.uniform(0, 1), 2))
+            for _ in range(6)]
+    pts = []
+    for i in range(400):
+        x, y = locs[i % 6]
+        pts.append((i, x, y, times[i % 12]))
+    exp = _naive(pts, 0.25, 3600)
+    _check(_run(spark, pts, 0.25, 3600), exp)
+    # all-in-one-bucket worst case: identical timestamps everywhere
+    pts_same_t = [(i, x, y, 777) for i, x, y, _ in pts]
+    _check(_run(spark, pts_same_t, 0.25, 3600), _naive(pts_same_t, 0.25, 3600))
+
+
+def test_nan_coordinates_never_pair_in_space(spark):
+    """NaN coords must stay excluded from n_s (dist2 NaN -> filter false),
+    including the same-location C(c,2) leg of the count-table form."""
+    nan = float("nan")
+    pts = [(1, 0.0, 0.0, 0), (2, 0.0, 0.0, 10),
+           (3, nan, nan, 20), (4, nan, nan, 30)]
+    got = _run(spark, pts, 0.5, 100)
+    # only the (1,2) pair is spatially close; NaN pairs contribute nothing
+    assert got["n_s"] == 1
+    assert got["n_t"] == 6  # all 4 events within 100s of each other
+    assert got["n_st"] == 1
+
+
 def test_degenerate_inputs(spark):
     # n = 1: no pairs, NULL expectation and ratio
     got = _run(spark, [(1, 0.0, 0.0, 0)], 0.5, 60)
