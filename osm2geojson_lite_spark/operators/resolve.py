@@ -180,12 +180,19 @@ def visibility_filter(live_rc: DataFrame, *, render_tagged: bool, exclude_way: b
 def relation_closure(roots: DataFrame, edges: DataFrame, *, max_depth: int = MAX_RELATION_DEPTH) -> DataFrame:
     """A3: transitive closure root -> reachable relation.
 
-    One cogrouped Arrow kernel per document (documents are independent
-    universes, so the closure never crosses ``doc_id``): BFS from each root
-    over that doc's relation->relation edge list, visited-set cycle-safe
-    (the reference would blow its stack on cycles, ``relation.ts:172-174``).
-    A single shuffle on ``doc_id``; no driver-side iteration.  The edge
-    groups are relation metadata only — tiny even for mega-documents.
+    One cogrouped Arrow kernel over HASH BUCKETS of documents (documents
+    are independent universes, so the closure never crosses ``doc_id`` —
+    the per-bucket adjacency is keyed by (doc_id, parent) so buckets can
+    hold many documents without cross-talk): BFS from each root over its
+    own doc's relation->relation edge list, visited-set cycle-safe (the
+    reference would blow its stack on cycles, ``relation.ts:172-174``).
+    A single shuffle on the bucket key; no driver-side iteration.  The
+    edge groups are relation metadata only — tiny even for mega-documents.
+    Bucketing by ``pmod(xxhash64(doc_id), ~16x shuffle partitions)``
+    instead of by raw ``doc_id`` cuts the Python call + pandas-frame
+    overhead from one-per-document to one-per-bucket (a corpus of tiny
+    documents paid ~1 call per doc), while the 16x key multiple keeps the
+    bucket hash spreading evenly over reducers.
 
     Output order is irrelevant (a set): the relation kernel re-derives the
     reference's member ordering from its own memoized DFS.
@@ -193,9 +200,10 @@ def relation_closure(roots: DataFrame, edges: DataFrame, *, max_depth: int = MAX
     import pandas as pd
 
     def closure_fn(key, roots_pdf, edges_pdf):
-        adj: dict[int, list[int]] = {}
-        for p, c in zip(edges_pdf["parent_inst"], edges_pdf["child_inst"]):
-            adj.setdefault(int(p), []).append(int(c))
+        adj: dict[tuple, list[int]] = {}
+        for d, p, c in zip(edges_pdf["edge_doc_id"], edges_pdf["parent_inst"],
+                           edges_pdf["child_inst"]):
+            adj.setdefault((d, int(p)), []).append(int(c))
         out_doc, out_root, out_rel = [], [], []
         for doc_id, root in zip(roots_pdf["doc_id"], roots_pdf["root_inst"]):
             root = int(root)
@@ -206,7 +214,7 @@ def relation_closure(roots: DataFrame, edges: DataFrame, *, max_depth: int = MAX
                 out_doc.append(doc_id)
                 out_root.append(root)
                 out_rel.append(cur)
-                for nxt in adj.get(cur, ()):
+                for nxt in adj.get((doc_id, cur), ()):
                     if nxt not in seen:
                         seen.add(nxt)
                         stack.append(nxt)
@@ -219,9 +227,14 @@ def relation_closure(roots: DataFrame, edges: DataFrame, *, max_depth: int = MAX
     edges_r = edges.select(
         F.col("doc_id").alias("edge_doc_id"), "parent_inst", "child_inst"
     )
+    spark = roots.sparkSession
+    n_buckets = max(64, 16 * int(spark.conf.get("spark.sql.shuffle.partitions")))
+    bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))  # noqa: E731
     return (
         roots.select("doc_id", "root_inst")
-        .groupBy("doc_id")
-        .cogroup(edges_r.groupBy("edge_doc_id"))
+        .withColumn("_b", bucket(F.col("doc_id")))
+        .groupBy("_b")
+        .cogroup(edges_r.withColumn("_b", bucket(F.col("edge_doc_id")))
+                 .groupBy("_b"))
         .applyInPandas(closure_fn, schema="doc_id string, root_inst long, rel_inst long")
     )
