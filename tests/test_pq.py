@@ -97,3 +97,17 @@ def test_pq_zero_query_is_deterministic(spark, emb, cbs):
 def test_pq_dim_mismatch_raises(emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(emb, m=7, k=4, n_iters=1, sample_size=16)
+
+
+def test_pq_flat_scan_guard_refuses_large_corpus(spark, emb, cbs):
+    """The flat ADC scan refuses corpora above max_corpus_rows (steering
+    callers to ivfpq_topk) and runs unchanged with the opt-in."""
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    codes = pq_encode(emb, cbs)
+    with pytest.raises(ValueError, match="ivfpq_topk"):
+        pq_topk(queries, codes, 3, codebooks=cbs, max_corpus_rows=10)
+    guarded = pq_topk(queries, codes, 3, codebooks=cbs).collect()
+    opted = pq_topk(queries, codes, 3, codebooks=cbs, max_corpus_rows=10,
+                    allow_flat_scan=True).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, opted))
