@@ -2507,6 +2507,25 @@ def q_emerging_hotspots(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROUND-6 ROTATION: the nine queries that had never had a driver gate
+    # row (track_clean, tile_sample, tpch_q3, tpch_q5, bm25_indexed,
+    # tile_smooth, zorder_key, geohash_keys, cms_counts — all seated past
+    # the 50-row cut in every round they existed) now sit INSIDE the first
+    # 50, so every registered query has at least one driver-recorded row
+    # across rounds.  Nine long-stable seats retire to the tail, each with
+    # a green round-5 driver row on code unchanged this round plus
+    # compensating coverage: poly_overlap / geo_radius (brute-force pytest
+    # pins; the cell-bucketed pair machinery stays in-window via
+    # dbscan_clusters + knox_pairs), hilbert_key (python-twin + round-trip
+    # property pins; sibling zorder_key takes the in-window seat),
+    # moran_i (sibling gi_hotspots stays in-window on the same
+    # density/neighbor-sum path), emerging_trend (its Mann-Kendall leg
+    # stays in-window inside emerging_hotspots), line_cells / idw_surface
+    # (python-oracle pytest pins; the cell index itself stays in-window
+    # via tile_cells-family consumers zonal_stats and tile_smooth),
+    # doc_chunks (python-oracle pin; the tokenization kernel is gated by a
+    # dozen in-window text queries), geojson_read (full python-oracle
+    # parity pin on a pure map-side plan).
     # Order matters: round 4's driver gate recorded rows for exactly the
     # FIRST 50 entries, leaving the then-last four (embed_clusters, tpch_q1,
     # events_hourly, events_sessionize) unchecked.  Those four now sit well
@@ -2602,11 +2621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "corpus_split": q_corpus_split,
         "osm_fixture_parity": q_osm_fixture_parity,
-        "poly_overlap": q_poly_overlap,
-        "geo_radius": q_geo_radius,
-        "hilbert_key": q_hilbert_key,
-        "moran_i": q_moran_i,
-        "emerging_trend": q_emerging_trend,
+        "track_clean": q_track_clean,
+        "tile_sample": q_tile_sample,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "bm25_indexed": q_bm25_indexed,
         "tile_distinct_hll": q_tile_distinct_hll,
         "emerging_hotspots": q_emerging_hotspots,
         "corpus_overlap": q_corpus_overlap,
@@ -2616,13 +2635,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersect": q_seg_intersect,
         "snap_points": q_snap_points,
         "ks_drift": q_ks_drift,
-        "line_cells": q_line_cells,
-        "idw_surface": q_idw_surface,
+        "tile_smooth": q_tile_smooth,
+        "zorder_key": q_zorder_key,
         "line_simplify": q_line_simplify,
         "geom_stats": q_geom_stats,
         "simhash_neardup": q_simhash_neardup,
-        "doc_chunks": q_doc_chunks,
-        "geojson_read": q_geojson_read,
+        "geohash_keys": q_geohash_keys,
+        "cms_counts": q_cms_counts,
         "embed_clusters": q_embed_clusters,
         "semantic_dedup": q_semantic_dedup,
         "tpch_q1": q_tpch_q1,
@@ -2667,12 +2686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_props_merge": q_osm_props_merge,
         "osm_polytag_classify": q_osm_polytag_classify,
         "osm_relation_geometry": q_osm_relation_geometry,
-        "track_clean": q_track_clean,
-        "tile_sample": q_tile_sample,
+        "poly_overlap": q_poly_overlap,
+        "geo_radius": q_geo_radius,
         "xml_events": q_xml_events,
         "media_decode": q_media_decode,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
+        "hilbert_key": q_hilbert_key,
+        "moran_i": q_moran_i,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_sample": q_doc_sample,
         "ann_int8": q_ann_int8,
@@ -2682,7 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_lsh_multi": q_ann_lsh_multi,
-        "bm25_indexed": q_bm25_indexed,
+        "emerging_trend": q_emerging_trend,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2697,11 +2716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cells": q_knn,
         "osm_convert_corpus": q_osm_convert_corpus,
         "ann_topk": q_ann_topk,
-        "tile_smooth": q_tile_smooth,
-        "zorder_key": q_zorder_key,
-        "geohash_keys": q_geohash_keys,
+        "line_cells": q_line_cells,
+        "idw_surface": q_idw_surface,
+        "doc_chunks": q_doc_chunks,
         "ann_recall": q_ann_recall,
-        "cms_counts": q_cms_counts,
+        "geojson_read": q_geojson_read,
     }
 
 
