@@ -81,7 +81,8 @@ def _edge_digest(edges: DataFrame) -> tuple:
 def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                          id_b: str = "id_b", nodes: DataFrame | None = None,
                          node_col: str = "doc_id",
-                         max_rounds: int = 50) -> DataFrame:
+                         max_rounds: int = 50,
+                         input_rows_hint: int | None = None) -> DataFrame:
     """Connected components of the undirected pair graph.
 
     Returns ``(node, component)`` with ``component`` = the minimum node id
@@ -90,16 +91,17 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     the whole corpus.  Ids must be orderable (the canonical pick is the
     minimum); any Spark-comparable type works.
 
+    ``input_rows_hint`` (optional): an upper bound on the pair count, when
+    the caller already knows it cheaply (e.g. the pairs frame is a
+    materialized checkpoint) — sizes the initial dedup shuffle like the
+    rounds, instead of running it at the session's corpus-sized partition
+    count.  Results are identical with or without the hint.
+
     Raises ``RuntimeError`` if the star rounds have not converged after
     ``max_rounds`` (2·log₂(n) rounds suffice per the paper; 50 covers any
     realistic corpus — non-convergence means a bug, not a big input).
     """
-    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-             .filter(F.col("u") != F.col("v")).distinct()
-             .localCheckpoint(eager=True))
-    digest = _edge_digest(edges)
-
-    # Scale-adaptive round partitioning (derive the partition count from the
+    # Scale-adaptive partitioning (derive the partition count from the
     # measured input, never a constant): each star round is ~10 shuffle
     # stages over the CURRENT edge set, which after dedup is usually far
     # smaller than the corpus that produced the pairs.  Running those stages
@@ -108,17 +110,27 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     # (measured: 5 rounds x ~6s over a 20k-edge graph at 32 partitions; the
     # same rounds take ~0.3s each when partitions match the data).  The
     # loop is already eager (localCheckpoint + digest per round), so the
-    # edge count is known here at runtime; the conf is restored before the
-    # lazily-evaluated final assignment, which stays on the caller's
-    # partitioning.
+    # edge count is known at runtime after the first checkpoint; the conf
+    # is restored before the lazily-evaluated final assignment, which stays
+    # on the caller's partitioning.
     spark = pairs.sparkSession
     cores = spark.sparkContext.defaultParallelism
     rows_per_partition = 20_000
-    target = max(1, digest[0] // rows_per_partition)
-    p = wave_aligned(target, cores) if target >= cores else int(target)
+
+    def _p(n: int) -> int:
+        target = max(1, n // rows_per_partition)
+        return wave_aligned(target, cores) if target >= cores else int(target)
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        if input_rows_hint is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(_p(int(input_rows_hint))))
+        edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=True))
+        digest = _edge_digest(edges)
+        spark.conf.set("spark.sql.shuffle.partitions", str(_p(digest[0])))
         for _ in range(max_rounds):
             new = _star_round(_star_round(edges, "large", dedup=False), "small")
             new = new.localCheckpoint(eager=True)

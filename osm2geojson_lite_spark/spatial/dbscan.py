@@ -75,9 +75,13 @@ def dbscan(points: DataFrame, eps: float, min_pts: int, *,
         .join(core.withColumnRenamed("_core_id", "right_id"), "right_id")
         .filter(F.col("left_id") != F.col("right_id"))
     )
+    # pairs is a materialized checkpoint, so its count is a cheap scan and
+    # bounds the core-edge count — lets CC size its input-dedup shuffle to
+    # the data instead of the session's corpus-sized partition count.
     comp = connected_components(
         core_edges, id_a="left_id", id_b="right_id",
         nodes=core, node_col="_core_id", max_rounds=max_rounds,
+        input_rows_hint=pairs.count(),
     )
 
     core_out = comp.select(
