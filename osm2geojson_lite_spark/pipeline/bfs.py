@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..session import data_sized_shuffle
+
 
 def bfs_hops(edges: DataFrame, seeds: DataFrame, *, src: str = "src",
              dst: str = "dst", seed_col: str = "node",
@@ -54,6 +56,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, *, src: str = "src",
         e = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst")))
     e = e.distinct().repartition("src").persist()
+    # materializes the edge cache (round 1 would anyway) and sizes the
+    # round shuffles to the measured graph instead of the session's
+    # corpus-sized partition count (the cluster.py CC convention)
+    n_e = e.count()
 
     frontier = (seeds.select(F.col(seed_col).cast("long").alias("node"))
                 .distinct()
@@ -61,18 +67,19 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, *, src: str = "src",
                 .localCheckpoint(eager=True))
     visited = frontier
     try:
-        for i in range(1, max_hops + 1):
-            nxt = (
-                frontier.join(e, frontier["node"] == e["src"])
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(visited.select("node"), "node", "left_anti")
-                .withColumn("hops", F.lit(i).cast("int"))
-            )
-            frontier = nxt.localCheckpoint(eager=True)
-            if frontier.isEmpty():
-                break
-            visited = visited.union(frontier).localCheckpoint(eager=True)
+        with data_sized_shuffle(e.sparkSession, n_e):
+            for i in range(1, max_hops + 1):
+                nxt = (
+                    frontier.join(e, frontier["node"] == e["src"])
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(visited.select("node"), "node", "left_anti")
+                    .withColumn("hops", F.lit(i).cast("int"))
+                )
+                frontier = nxt.localCheckpoint(eager=True)
+                if frontier.isEmpty():
+                    break
+                visited = visited.union(frontier).localCheckpoint(eager=True)
     finally:
         e.unpersist()
     return visited
@@ -117,6 +124,7 @@ def cheapest_path(edges: DataFrame, seeds: DataFrame, *, src: str = "src",
     # parallel edges: only the cheapest can ever win a relaxation
     e = (e.groupBy("src", "dst").agg(F.min("w").alias("w"))
          .repartition("src").persist())
+    n_e = e.count()  # materialize the cache + size the round shuffles
 
     frontier = (seeds.select(F.col(seed_col).cast("long").alias("node"))
                 .distinct()
@@ -125,36 +133,38 @@ def cheapest_path(edges: DataFrame, seeds: DataFrame, *, src: str = "src",
                 .localCheckpoint(eager=True))
     best = frontier
     try:
-        for _ in range(max_hops):
-            cand = (
-                frontier.join(e, frontier["node"] == e["src"])
-                .select(F.col("dst").alias("node"),
-                        (F.col("cost") + F.col("w")).alias("cost"),
-                        (F.col("hops") + F.lit(1)).cast("int").alias("hops"))
-                .groupBy("node")
-                .agg(F.min(F.struct("cost", "hops")).alias("c"))
-                .select("node", F.col("c.cost").alias("cost"),
-                        F.col("c.hops").alias("hops"))
-            )
-            old = best.select("node", F.col("cost").alias("old_cost"),
-                              F.col("hops").alias("old_hops"))
-            improved = (
-                cand.join(old, "node", "left")
-                .filter(
-                    F.col("old_cost").isNull()
-                    | (F.struct(F.col("cost"), F.col("hops"))
-                       < F.struct(F.col("old_cost"), F.col("old_hops")))
+        with data_sized_shuffle(e.sparkSession, n_e):
+            for _ in range(max_hops):
+                cand = (
+                    frontier.join(e, frontier["node"] == e["src"])
+                    .select(F.col("dst").alias("node"),
+                            (F.col("cost") + F.col("w")).alias("cost"),
+                            (F.col("hops") + F.lit(1)).cast("int")
+                            .alias("hops"))
+                    .groupBy("node")
+                    .agg(F.min(F.struct("cost", "hops")).alias("c"))
+                    .select("node", F.col("c.cost").alias("cost"),
+                            F.col("c.hops").alias("hops"))
                 )
-                .select("node", "cost", "hops")
-            )
-            frontier = improved.localCheckpoint(eager=True)
-            if frontier.isEmpty():
-                break
-            best = (
-                best.join(frontier.select("node"), "node", "left_anti")
-                .union(frontier)
-                .localCheckpoint(eager=True)
-            )
+                old = best.select("node", F.col("cost").alias("old_cost"),
+                                  F.col("hops").alias("old_hops"))
+                improved = (
+                    cand.join(old, "node", "left")
+                    .filter(
+                        F.col("old_cost").isNull()
+                        | (F.struct(F.col("cost"), F.col("hops"))
+                           < F.struct(F.col("old_cost"), F.col("old_hops")))
+                    )
+                    .select("node", "cost", "hops")
+                )
+                frontier = improved.localCheckpoint(eager=True)
+                if frontier.isEmpty():
+                    break
+                best = (
+                    best.join(frontier.select("node"), "node", "left_anti")
+                    .union(frontier)
+                    .localCheckpoint(eager=True)
+                )
     finally:
         e.unpersist()
     return best

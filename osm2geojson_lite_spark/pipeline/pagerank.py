@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..session import data_sized_shuffle
+
 
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              n_iters: int = 5, damping_pct: int = 85,
@@ -74,22 +76,27 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                          F.lit(0.0).alias("rank"))
     teleport = ((100 - damping_pct) * scale) // (100 * n)
 
+    # size the per-iteration shuffles to the measured graph (n nodes is
+    # already counted; ed materializes here instead of inside round 1) —
+    # the cluster.py/bfs.py convention
+    n_e = ed.count()
     ranks = nd.select("node", F.lit(scale // n).cast("long").alias("r"))
-    for _ in range(n_iters):
-        contribs = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select("dst", F.expr("r div d").alias("c"))
-            .groupBy("dst").agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nd.join(contribs, nd["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (F.lit(teleport)
-                 + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                 ).cast("long").alias("r"))
-            .localCheckpoint(eager=True)
-        )
+    with data_sized_shuffle(nd.sparkSession, max(n, n_e)):
+        for _ in range(n_iters):
+            contribs = (
+                ed.join(ranks, ed["src"] == ranks["node"])
+                .select("dst", F.expr("r div d").alias("c"))
+                .groupBy("dst").agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                nd.join(contribs, nd["node"] == contribs["dst"], "left")
+                .select(
+                    "node",
+                    (F.lit(teleport)
+                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                     ).cast("long").alias("r"))
+                .localCheckpoint(eager=True)
+            )
 
     return ranks.select(
         F.col("node"), F.col("r").alias("rank_fp"),

@@ -112,6 +112,35 @@ def wave_partitions(spark: SparkSession, n_rows: int | None = None, *,
     return wave_aligned(n_rows // rows_per_partition, cores)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def data_sized_shuffle(spark: SparkSession, n_rows: int, *,
+                       rows_per_partition: int = 20_000):
+    """Temporarily size ``spark.sql.shuffle.partitions`` to a MEASURED row
+    count for an eagerly-executed region (iterative loops whose per-round
+    tables are far smaller than the corpus the session conf is tuned for).
+
+    Scale-adaptive in both directions: above one scheduling wave the count
+    is wave-aligned to ``defaultParallelism`` (cluster-width multiples, no
+    idle remainder wave); below it, tiny inputs stop paying a full wave of
+    near-empty tasks per shuffle stage (measured ~6s/round -> ~0.7s/round
+    on a 20k-row graph at local[32]).  Restores the previous value on
+    exit; lazily-returned DataFrames evaluated after the region run on
+    the caller's partitioning.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    target = max(1, int(n_rows) // rows_per_partition)
+    p = wave_aligned(target, cores) if target >= cores else int(target)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        yield p
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def prewarm_python_workers(spark: SparkSession, *, cores: int | None = None) -> None:
     """Boot one Arrow-capable Python worker per task slot NOW.
 
