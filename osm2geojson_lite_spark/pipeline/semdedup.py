@@ -63,19 +63,24 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
     """
     cents = [[float(x) for x in cv] for cv in centroids]
     cent_structs = _centroid_scorer(cents)
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    v = v.withColumn("_vnorm", _norm(F.col("_v")))
-    best = F.array_max(cent_structs(F.col("_v"), F.col("_vnorm")))
-    asg = v.select(
-        "vec_id", "_v",
+    # norm inlined as an expression (not an intermediate column): a
+    # projected-away attribute inside the scorer trips localCheckpoint's
+    # physical planning on Spark 4.1 ("key not found" on the dropped col)
+    best = F.array_max(cent_structs(F.col(vec_col), _norm(F.col(vec_col))))
+    asg = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"),
         best["cid"].alias("cid"), best["cos"].alias("cent_cos"),
-    )
+    ).localCheckpoint(eager=True)
+    # The assignment subtree has THREE consumers (the guard count and both
+    # sides of the cluster-local pair join), and its scorer is a k x dim
+    # literal expression whose planning/codegen alone costs more than the
+    # scan — measured 1.9s per pass at bench size, three passes.  One
+    # eager checkpoint runs it once; the blocks are freed by the
+    # ContextCleaner when the result frame is released (the dbscan pairs
+    # convention, which holds a strictly larger working set).
 
     if not allow_large_clusters:
-        # One bounded driver scalar.  The guard job recomputes the
-        # assignment rather than persisting it — assignment is a map-side
-        # projection (cheaper to redo than to cache corpus-wide), and an
-        # un-unpersisted cache would leak across repeated calls.
+        # One bounded driver scalar over the materialized assignment.
         biggest = (asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
                    .agg(F.max("n")).collect()[0][0]) or 0
         if biggest > max_cluster_rows:
