@@ -88,7 +88,32 @@ def snap_join(points: DataFrame, segments: DataFrame, radius: float, *,
     t = F.when(len2 > 0,
                F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
                ).otherwise(F.lit(0.0))
-    snapped = cand.select(
+
+    # Raw-arithmetic prefilter — the ONLY predicate below the aggregation,
+    # so the optimizer may inline it into the join condition freely: it is
+    # plain flops.  The exact pipeline's round(, 9) calls (Spark's double
+    # round allocates a BigDecimal per value; four rounds per candidate
+    # row dominated this stage — measured ~6s over 3.6M candidates at
+    # sf0.1, ~18% selective) live in a PROJECT above the join and are now
+    # evaluated only for prefilter survivors.  The raw squared distance
+    # differs from the exact rounded one only by the snap point's decimal-
+    # rounding displacement (<= 0.5e-9 per axis, ABSOLUTE — round-to-9-
+    # decimals error is magnitude-independent) plus the final d2 round and
+    # FP noise, so `d2_raw <= r^2 + margin` is a provable SUPERSET of the
+    # exact survivors.  The exact radius test moves AFTER the argmin: the
+    # min-(d2, sid) winner over the superset is <= every exact survivor's
+    # d2, hence is itself an exact survivor whenever one exists, and the
+    # final one-row-per-point filter drops points whose winner exceeds the
+    # radius — byte-identical results, rounds on ~1/5 of the rows, and no
+    # round-bearing predicate for the optimizer to substitute into the
+    # join condition (where the expanded expression defeats codegen).
+    exr = F.col("px") - (F.col("sx1") + t * dx)
+    eyr = F.col("py") - (F.col("sy1") + t * dy)
+    r = float(radius)
+    margin = 1e-8 + 3e-9 * r + 1e-15 * r * r
+    pre = cand.filter(exr * exr + eyr * eyr <= F.lit(r * r + margin))
+
+    snapped = pre.select(
         "point_id", "px", "py", F.col("sid"),
         F.round(t, 9).alias("_t"),
         F.round(F.col("sx1") + t * dx, 9).alias("_cx"),
@@ -99,10 +124,12 @@ def snap_join(points: DataFrame, segments: DataFrame, radius: float, *,
     scored = snapped.select(
         "point_id", "sid", "_t", "_cx", "_cy",
         F.round(ex * ex + ey * ey, 9).alias("_d2"),
-    ).filter(F.col("_d2") <= F.lit(float(radius)) * F.lit(float(radius)))
+    )
     best = scored.groupBy("point_id").agg(
         F.min(F.struct("_d2", "sid", "_t", "_cx", "_cy")).alias("_b"))
-    return best.select(
+    return best.filter(
+        F.col("_b._d2") <= F.lit(float(radius)) * F.lit(float(radius))
+    ).select(
         "point_id",
         F.col("_b.sid").alias("seg_id"),
         F.col("_b._t").alias("t"),
