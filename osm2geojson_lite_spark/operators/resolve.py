@@ -52,7 +52,17 @@ def resolve_graph(instances: DataFrame, *, salt: int | None = None) -> dict:
     """
     inst = instances
 
-    live = inst.filter(F.col("is_live"))
+    # Project the live table to the columns its consumers actually read
+    # BEFORE it crosses the ref-count join's exchange (guide: project
+    # before the exchange).  The parse table also carries way_slots_json /
+    # members_json / roles_json / bounds_json / eid — fat strings consumed
+    # only via their own explode paths below, never through `live` — and
+    # shuffling them with every live row roughly doubled the join's bytes.
+    live = inst.filter(F.col("is_live")).select(
+        "doc_id", "composite", "inst", "etype", "out_pos",
+        "member_created", "has_tag", "latlng_set", "lat", "lon",
+        "props_json", "tags_json", "tag_events_json",
+    )
     live_keyed = live.select(
         "doc_id", "composite",
         F.col("inst").alias("target_inst"),
