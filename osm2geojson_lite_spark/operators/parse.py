@@ -395,8 +395,12 @@ def detect_format(payload: str) -> str:
     return "invalid"
 
 
-def parse_document(doc_id, payload: str) -> list[dict]:
-    """Parse one document into flat instance rows (Spark-ready)."""
+def _parse_into(doc_id, payload: str, out: dict) -> None:
+    """Parse one document, appending instance fields COLUMN-WISE into
+    ``out`` (a dict of lists keyed by ``_INSTANCE_COLS``).  The columnar
+    form feeds ``pd.DataFrame`` directly — the former one-dict-per-row
+    materialization plus pandas' from-records path cost more than the
+    parse itself on million-instance corpora."""
     state = _DocState(doc_id)
     fmt = detect_format(payload)
     if fmt == "json-raw":
@@ -408,34 +412,49 @@ def parse_document(doc_id, payload: str) -> list[dict]:
             analyze_json(state, osm)
     elif fmt == "xml":
         analyze_xml(state, payload)
-    return [_finalize(state, rec) for rec in state.instances]
 
-
-def _finalize(state: _DocState, rec: dict) -> dict:
-    roles = [m["role"] for m in rec["members"] if m["mtype"] == "way"]
-    return {
-        "doc_id": rec["doc_id"],
-        "inst": rec["inst"],
-        "etype": rec["etype"],
-        "eid": rec["eid"],
-        "composite": rec["composite"],
-        "is_live": state.registry[rec["composite"]] is rec,
-        "out_pos": state.first_seq[rec["composite"]],
-        "member_created": rec["member_created"],
-        "has_tag": rec["has_tag"],
-        "latlng_set": rec["latlng_set"],
-        "lat": rec["lat"],
-        "lon": rec["lon"],
+    registry = state.registry
+    first_seq = state.first_seq
+    for rec in state.instances:
+        comp = rec["composite"]
+        members = rec["members"]
+        way_slots = rec["way_slots"]
+        bounds = rec["bounds"]
+        out["doc_id"].append(rec["doc_id"])
+        out["inst"].append(rec["inst"])
+        out["etype"].append(rec["etype"])
+        out["eid"].append(rec["eid"])
+        out["composite"].append(comp)
+        out["is_live"].append(registry[comp] is rec)
+        out["out_pos"].append(first_seq[comp])
+        out["member_created"].append(rec["member_created"])
+        out["has_tag"].append(rec["has_tag"])
+        out["latlng_set"].append(rec["latlng_set"])
+        out["lat"].append(rec["lat"])
+        out["lon"].append(rec["lon"])
         # canonical (JSON.stringify-compatible) so downstream kernels can
         # concatenate these strings into feature JSON without a re-parse
-        "props_json": canonical_json(rec["props"]),
-        "tags_json": canonical_json(rec["tags"]),
-        "tag_events_json": json.dumps(rec["tag_events"], ensure_ascii=False),
-        "roles_json": json.dumps(roles, ensure_ascii=False),
-        "way_slots_json": json.dumps(rec["way_slots"]) if rec["way_slots"] else None,
-        "members_json": json.dumps(rec["members"]) if rec["members"] else None,
-        "bounds_json": json.dumps(rec["bounds"]) if rec["bounds"] is not None else None,
-    }
+        out["props_json"].append(canonical_json(rec["props"]))
+        out["tags_json"].append(canonical_json(rec["tags"]))
+        out["tag_events_json"].append(
+            json.dumps(rec["tag_events"], ensure_ascii=False))
+        out["roles_json"].append(json.dumps(
+            [m["role"] for m in members if m["mtype"] == "way"],
+            ensure_ascii=False))
+        out["way_slots_json"].append(
+            json.dumps(way_slots) if way_slots else None)
+        out["members_json"].append(
+            json.dumps(members) if members else None)
+        out["bounds_json"].append(
+            json.dumps(bounds) if bounds is not None else None)
+
+
+def parse_document(doc_id, payload: str) -> list[dict]:
+    """Parse one document into flat instance rows (Spark-ready)."""
+    cols = {c: [] for c in _INSTANCE_COLS}
+    _parse_into(doc_id, payload, cols)
+    n = len(cols["doc_id"])
+    return [{c: cols[c][i] for c in _INSTANCE_COLS} for i in range(n)]
 
 
 # ---------------------------------------------------------------------------
@@ -469,10 +488,10 @@ def parse_documents(docs_df):
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            rows: list[dict] = []
+            cols: dict[str, list] = {c: [] for c in _INSTANCE_COLS}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is not None:
-                    rows.extend(parse_document(doc_id, payload))
-            yield pd.DataFrame(rows, columns=_INSTANCE_COLS)
+                    _parse_into(doc_id, payload, cols)
+            yield pd.DataFrame(cols, columns=_INSTANCE_COLS)
 
     return docs_df.select("doc_id", "payload").mapInPandas(run, schema=INSTANCE_SCHEMA)
