@@ -62,9 +62,9 @@ def mann_kendall_trend(series: DataFrame, *, cell_col_name: str = "cell",
     missing buckets inside the global frame are treated as 0.  Output has
     one row per distinct cell: ``s_stat`` the Mann-Kendall S, ``var18``
     the tie-corrected variance times 18 (exact integer), ``z`` the
-    continuity-corrected z-score (0.0 when S = 0, NULL only if the frame
-    is a single bucket), ``trend`` one of ``increasing`` / ``decreasing``
-    / ``none`` at ``z_crit``.
+    continuity-corrected z-score — always non-NULL (0.0 whenever S = 0,
+    which includes the single-bucket frame), ``trend`` one of
+    ``increasing`` / ``decreasing`` / ``none`` at ``z_crit``.
 
     ``max_buckets`` fences the O(T^2) per-cell expression against an
     accidentally fine bucket axis (e.g. epoch-second buckets over a
@@ -82,9 +82,14 @@ def mann_kendall_trend(series: DataFrame, *, cell_col_name: str = "cell",
 
     # Global analysis frame: one tiny row.  raise_error is ANSI-safe and
     # keeps the fence inside the lazy plan (evaluated once, broadcast).
+    # The isNull disjunct covers EMPTY input: min/max over zero rows are
+    # NULL, which would otherwise fall through to raise_error with a
+    # misleading "exceeds max_buckets" message — an empty frame must pass
+    # through (per_cell is empty too, so the output is simply empty).
     frame = vals.agg(F.min("b").alias("b0"), F.max("b").alias("b1")).select(
         F.when(
-            F.col("b1") - F.col("b0") < F.lit(int(max_buckets)),
+            F.col("b0").isNull()
+            | (F.col("b1") - F.col("b0") < F.lit(int(max_buckets))),
             F.col("b0"),
         ).otherwise(
             F.raise_error(F.format_string(

@@ -116,3 +116,10 @@ def test_max_buckets_fence_raises(spark):
         out.collect()
     with pytest.raises(ValueError):
         mann_kendall_trend(df, max_buckets=1)
+
+
+def test_empty_input_passes_through(spark):
+    """Empty input must yield an empty result, not a misleading
+    max_buckets raise_error from the NULL min/max frame row."""
+    df = spark.createDataFrame([], "cell long, b long, x long")
+    assert mann_kendall_trend(df).collect() == []
