@@ -321,6 +321,16 @@ def build_features(
         .join(rel_meta, ["doc_id", "rel_inst"])
         .join(roots.select("doc_id", "root_inst", "out_pos"), ["doc_id", "root_inst"])
     )
+    # Project to exactly the columns the kernel reads BEFORE the group
+    # repartition: mapInPandas is opaque to Catalyst's column pruning, so
+    # without the select the exchange would also carry the member `role`
+    # string and `target_inst` (already duplicated as child_inst).
+    kernel_in = kernel_in.select(
+        "doc_id", "root_inst", "rel_inst", "m_p", "m_mtype", "out_pos",
+        "coords_json", "child_inst", "node_comp", "node_props_json",
+        "node_tags_json", "node_lon", "node_lat", "composite", "props_json",
+        "tags_json", "roles_json", "bounds_json",
+    )
     # One shuffle keyed exactly like the former groupBy(...).applyInPandas,
     # but the kernel runs as a mapInPandas STREAM over the sorted partition:
     # one Python call per Arrow batch (thousands of groups) instead of one

@@ -91,10 +91,13 @@ def resolve_graph(instances: DataFrame, *, salt: int | None = None) -> dict:
             F.col("inst").alias("rel_inst"),
             F.explode(F.from_json("members_json", MEMBERS_T)).alias("m"),
         )
-        .select("doc_id", "rel_inst", "m.p", "m.mtype", "m.kind", "m.ref", "m.inst", "m.role")
+        # m.role is NOT carried: the relation kernel reads member roles from
+        # rel_meta.roles_json (the parse-side projection), so resolved
+        # members would shuffle and cache the string for no consumer.
+        .select("doc_id", "rel_inst", "m.p", "m.mtype", "m.kind", "m.ref", "m.inst")
     )
     mem_refs = members.filter(F.col("kind") == "ref").select(
-        "doc_id", "rel_inst", "p", "mtype", "role",
+        "doc_id", "rel_inst", "p", "mtype",
         F.concat(F.col("mtype"), F.lit("/"), F.col("ref")).alias("composite"),
     )
 
@@ -155,9 +158,9 @@ def resolve_graph(instances: DataFrame, *, salt: int | None = None) -> dict:
     # --- J2/J3/J4: member resolution --------------------------------------
     resolved_ref_members = mem_refs.join(
         live_keyed, ["doc_id", "composite"], "inner"
-    ).select("doc_id", "rel_inst", "p", "mtype", "role", "target_inst")
+    ).select("doc_id", "rel_inst", "p", "mtype", "target_inst")
     inline_members = members.filter(F.col("kind") == "inline").select(
-        "doc_id", "rel_inst", "p", "mtype", "role",
+        "doc_id", "rel_inst", "p", "mtype",
         F.col("inst").alias("target_inst"),
     )
     resolved_members = resolved_ref_members.unionByName(inline_members)
